@@ -1,0 +1,30 @@
+"""miraculix_tpu — TPU-native genotype linear algebra.
+
+A from-scratch JAX/Pallas framework with the capabilities of
+alexfreudenberg/miraculix: linear algebra directly on 2-bit-compressed
+genotype matrices — dgemm_compressed ('n'/'t' with allele-frequency
+centering), GRM/LD crossproducts, and GBLUP equation solving — built for
+TPU: planar16 packing decoded in-register inside Pallas kernels feeding the
+MXU, sharded across device meshes with XLA collectives.
+"""
+from .geno import GenoMatrix, from_bed, from_dense, from_plink
+from .options import Options, get_global_options, set_global_options
+from .ops.dgemm import dgemm, packed_matmul
+from .ops.grm import grm, ld, snp_crossprod
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "GenoMatrix",
+    "Options",
+    "dgemm",
+    "from_bed",
+    "from_dense",
+    "from_plink",
+    "get_global_options",
+    "grm",
+    "ld",
+    "packed_matmul",
+    "set_global_options",
+    "snp_crossprod",
+]

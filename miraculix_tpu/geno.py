@@ -1,0 +1,151 @@
+"""GenoMatrix: the device-resident compressed genotype container.
+
+TPU-native analogue of the reference's SEXP-compatible code container with
+its transposed twin (``CompleteCodeVector`` + ``Next`` chaining,
+src/miraculix/haplogeno.cc:250-480) and of the GPU storage object
+(``GPU_gemm_storage``, src/cuda/dgemm_compressed_cuda.h:87-100): both packed
+orientations live on device, plus the cached per-SNP statistics that the
+reference keeps in the ``Precise`` attribute (getFreq,
+src/miraculix/haplogeno.cc:1547-1661).
+
+Storage is the planar16 packing (see miraculix_tpu.io.codec): int32 words,
+16 genotypes per word, plane-major so Pallas decode is shift/mask only.
+
+Registered as a JAX pytree so it can be passed through jit/shard_map.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .io import codec
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GenoMatrix:
+    """Compressed genotype matrix Z with shape (indiv, snps), values {0,1,2}.
+
+    - ``zq_n``: int32 [indiv_pad, kw_snps] — planar16 over the SNP axis.
+      Used for 'n' products Z @ B and for the GRM crossproduct Z Z^T.
+    - ``zq_t``: int32 [snps_pad, kw_indiv] — planar16 over the individual
+      axis (the transposed twin).  Used for 't' products Z^T @ B and LD.
+    - ``freq``: f32 [snps] allele frequencies (external or computed).
+    - ``miss_rows_n/miss_cols_n``: optional int32 arrays of missing-entry
+      coordinates in (indiv, snps) orientation, for centering corrections
+      (reference Vector.matrix.D.cc:179-208).  None when ignore_missings.
+    """
+
+    snps: int
+    indiv: int
+    zq_n: jax.Array
+    zq_t: jax.Array
+    freq: jax.Array
+    miss_rows_n: Optional[jax.Array] = None
+    miss_cols_n: Optional[jax.Array] = None
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        children = (self.zq_n, self.zq_t, self.freq, self.miss_rows_n,
+                    self.miss_cols_n)
+        aux = (self.snps, self.indiv)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        snps, indiv = aux
+        return cls(snps, indiv, *children)
+
+    # -- properties ----------------------------------------------------------
+    @property
+    def kw_snps(self) -> int:
+        return self.zq_n.shape[1]
+
+    @property
+    def kw_indiv(self) -> int:
+        return self.zq_t.shape[1]
+
+    @property
+    def indiv_pad(self) -> int:
+        return self.zq_n.shape[0]
+
+    @property
+    def snps_pad(self) -> int:
+        return self.zq_t.shape[0]
+
+    @property
+    def sigma2(self) -> jax.Array:
+        """sigma^2 = 2 * sum_s p_s (1 - p_s), the VanRaden scale
+        (docs/grm.md:5-10)."""
+        f = self.freq.astype(jnp.float32)
+        return 2.0 * jnp.sum(f * (1.0 - f))
+
+    @property
+    def nbytes(self) -> int:
+        return self.zq_n.nbytes + self.zq_t.nbytes
+
+    def __repr__(self) -> str:  # keep dataclass from dumping arrays
+        return (f"GenoMatrix(snps={self.snps}, indiv={self.indiv}, "
+                f"packed={self.nbytes / 1e6:.1f} MB)")
+
+
+def from_dense(
+    geno: np.ndarray,
+    freq: Optional[np.ndarray] = None,
+    row_mult: int = 256,
+    keep_missing_info: bool = False,
+    device_put: bool = True,
+) -> GenoMatrix:
+    """Pack a dense genotype matrix [indiv, snps] (0/1/2, 3=missing) into a
+    GenoMatrix (both orientations).
+
+    Equivalent of the reference's ``plink2compressed``
+    (src/miraculix/5codesAPI.c:80-96) with the packed transpose of
+    compressed_operations.jl:45-66 fused in.
+    """
+    geno = np.asarray(geno, dtype=np.uint8)
+    n_indiv, n_snps = geno.shape
+    miss_rows = miss_cols = None
+    if keep_missing_info and (geno == 3).any():
+        mr, mc = codec.missing_positions(geno)
+        miss_rows, miss_cols = jnp.asarray(mr), jnp.asarray(mc)
+    if freq is None:
+        freq = codec.allele_freq(geno, axis=0)
+    zq_n = codec.pack_planar16(geno, row_mult=row_mult)
+    zq_t = codec.pack_planar16(
+        np.ascontiguousarray(np.where(geno == 3, 0, geno).T), row_mult=row_mult
+    )
+    as_arr = jnp.asarray if device_put else (lambda x: x)
+    return GenoMatrix(
+        snps=n_snps,
+        indiv=n_indiv,
+        zq_n=as_arr(zq_n),
+        zq_t=as_arr(zq_t),
+        freq=jnp.asarray(np.asarray(freq, dtype=np.float32)),
+        miss_rows_n=miss_rows,
+        miss_cols_n=miss_cols,
+    )
+
+
+def from_plink(
+    plink: np.ndarray,
+    snps: int,
+    indiv: int,
+    freq: Optional[np.ndarray] = None,
+    **kw: Any,
+) -> GenoMatrix:
+    """Build from raw PLINK packed bytes [ceil(indiv/4), snps] (the exact
+    input contract of the reference's ``plink2compressed``)."""
+    dense = codec.plink_to_dense(np.asarray(plink, dtype=np.uint8), indiv)
+    return from_dense(dense, freq=freq, **kw)
+
+
+def from_bed(path: str, freq: Optional[np.ndarray] = None, **kw: Any) -> GenoMatrix:
+    from .io import bed
+
+    geno, computed_freq = bed.read_bed_genotypes(path)
+    return from_dense(geno, freq=freq if freq is not None else computed_freq, **kw)

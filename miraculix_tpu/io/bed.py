@@ -1,0 +1,125 @@
+"""PLINK fileset I/O: .bed / .bim / .fam / .freq readers and writers.
+
+Mirrors the behavior of the reference's Julia reader
+(src/bindings/Julia/read_plink.jl:161-222): magic-byte check, dimensions from
+line counts of the .bim/.fam companions, SNP-major payload.  Adds a writer
+and a simple panel simulator so tests and benchmarks can generate real
+filesets (the reference generates data with `plink --simulate`,
+utils/genotype_simulation_plink/Makefile).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from . import codec
+
+BED_MAGIC = bytes([0x6C, 0x1B, 0x01])
+
+
+def _count_lines(path: str) -> int:
+    n = 0
+    with open(path, "rb") as fh:
+        for _ in fh:
+            n += 1
+    return n
+
+
+def read_bed(path: str):
+    """Read a PLINK .bed fileset.
+
+    Returns ``(plink, n_snps, n_indiv)`` where ``plink`` is the raw packed
+    payload as uint8 [ceil(indiv/4), snps] (SNP-major, Fortran-equivalent of
+    the Julia reader's column layout).
+    """
+    if not path.endswith(".bed"):
+        raise ValueError("file must end in .bed")
+    fam = path[:-4] + ".fam"
+    bim = path[:-4] + ".bim"
+    for p in (fam, bim):
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"missing supplementary file {p}")
+    n_indiv = _count_lines(fam)
+    n_snps = _count_lines(bim)
+    nbytes = (n_indiv + 3) // 4
+    with open(path, "rb") as fh:
+        magic = fh.read(3)
+        if magic != BED_MAGIC:
+            raise ValueError("not a valid .bed file (bad magic bytes)")
+        payload = np.frombuffer(fh.read(), dtype=np.uint8)
+    if payload.size != nbytes * n_snps:
+        raise ValueError(
+            f".bed payload has {payload.size} bytes, expected {nbytes * n_snps}"
+        )
+    plink = payload.reshape(n_snps, nbytes).T.copy()  # [nbytes, snps]
+    return plink, n_snps, n_indiv
+
+
+def read_bed_genotypes(path: str):
+    """Read a .bed fileset and decode to a dense genotype matrix.
+
+    Returns ``(geno, freq)`` with ``geno`` uint8 [indiv, snps] holding
+    0/1/2 (3 = missing) and ``freq`` the per-SNP allele frequencies.
+    """
+    plink, n_snps, n_indiv = read_bed(path)
+    geno = codec.plink_to_dense(plink, n_indiv)  # [indiv, snps]
+    freq = codec.allele_freq(geno, axis=0)
+    return geno, freq
+
+
+def write_bed(path: str, geno: np.ndarray) -> None:
+    """Write a dense genotype matrix [indiv, snps] (0/1/2, 3=missing) as a
+    PLINK .bed fileset with minimal .bim/.fam companions."""
+    if not path.endswith(".bed"):
+        raise ValueError("file must end in .bed")
+    geno = np.asarray(geno, dtype=np.uint8)
+    n_indiv, n_snps = geno.shape
+    plink = codec.dense_to_plink(geno)  # [ceil(indiv/4), snps]
+    with open(path, "wb") as fh:
+        fh.write(BED_MAGIC)
+        fh.write(plink.T.tobytes())  # SNP-major stream
+    with open(path[:-4] + ".fam", "w") as fh:
+        for i in range(n_indiv):
+            fh.write(f"F{i} I{i} 0 0 0 -9\n")
+    with open(path[:-4] + ".bim", "w") as fh:
+        for s in range(n_snps):
+            fh.write(f"1 snp{s} 0 {s + 1} A B\n")
+
+
+def read_freq(path: str) -> np.ndarray:
+    """Read a .freq file: whitespace table, frequency in the second column
+    (reference read_plink.jl:read_freq)."""
+    data = np.loadtxt(path, dtype=str, ndmin=2)
+    return data[:, 1].astype(np.float64)
+
+
+def write_freq(path: str, freq: np.ndarray) -> None:
+    with open(path, "w") as fh:
+        for i, f in enumerate(np.asarray(freq)):
+            fh.write(f"snp{i} {f:.10f}\n")
+
+
+def simulate_genotypes(
+    n_indiv: int,
+    n_snps: int,
+    seed: int = 0,
+    maf_range: tuple[float, float] = (0.05, 0.5),
+    missing_rate: float = 0.0,
+) -> np.ndarray:
+    """Simulate a genotype panel under Hardy-Weinberg equilibrium, the same
+    model `plink --simulate` uses for the reference's benchmark panels
+    (utils/genotype_simulation_plink/Makefile:1-9).
+
+    Returns uint8 [indiv, snps] with 0/1/2 (3 = missing).
+    """
+    rng = np.random.default_rng(seed)
+    maf = rng.uniform(*maf_range, size=n_snps)
+    u = rng.random((n_indiv, n_snps))
+    hom_ref = (1.0 - maf) ** 2
+    het = hom_ref + 2.0 * maf * (1.0 - maf)
+    geno = np.where(u < hom_ref, 0, np.where(u < het, 1, 2)).astype(np.uint8)
+    if missing_rate > 0:
+        miss = rng.random((n_indiv, n_snps)) < missing_rate
+        geno = np.where(miss, np.uint8(3), geno)
+    return geno

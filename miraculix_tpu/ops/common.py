@@ -1,0 +1,74 @@
+"""Shared Pallas kernel utilities: planar16 in-register decode, tiling."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def on_cpu() -> bool:
+    """True when the default backend is CPU → run Pallas in interpret mode.
+
+    Mirrors the reference's pattern of keeping the API linkable without the
+    accelerator (GPU stubs, src/miraculix/5codesChar.cc:52-84): on CPU the
+    kernels execute via the Pallas interpreter, bit-compatible with TPU.
+    """
+    return jax.default_backend() == "cpu"
+
+
+def decode_planar16(words: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """Decode planar16 uint32 words [R, W] -> genotype matrix [R, 16*W].
+
+    Pure lane-aligned shift/mask VPU ops; the concatenation joins contiguous
+    [R, W] slabs in plane-major order, which by construction of the packing
+    (miraculix_tpu.io.codec.pack_planar16) is the natural column order.
+    Genotypes {0,1,2} are exactly representable in bfloat16, so the MXU
+    bf16 path is exact on the genotype operand.
+
+    This one decode replaces the reference's per-ISA kernel families
+    (5codesIntern.h table lookups, 2bitIntern.h popcount tricks, the CUTLASS
+    2-bit microkernel dgemm_compressed_cuda.h:229-269).
+    """
+    planes = [
+        ((words >> m) & 3).astype(jnp.int32).astype(dtype) for m in _SHIFTS
+    ]
+    return jnp.concatenate(planes, axis=1)
+
+
+import numpy as np  # noqa: E402  (scalar constants; jnp scalars would be traced)
+
+_SHIFTS = tuple(np.uint32(2 * m) for m in range(16))
+_MASKS = tuple(np.uint32(3 << (2 * m)) for m in range(15))
+# 4^-m compensation for decode_planar16_scaled, to fold into the RHS rows of
+# plane m.  Power-of-two scaling is exact in every float dtype.  Plane 15 is
+# shift-decoded (its masked value would not fit positive int32), so scale 1.
+PLANE_SCALES = tuple(4.0 ** (-m) for m in range(15)) + (1.0,)
+
+
+def decode_planar16_scaled(words: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """Decode planar16 words to SCALED genotypes: plane m yields g * 4^m.
+
+    Mask-only decode — 2 VPU ops per plane (AND + convert) instead of 3
+    (shift + AND + convert).  The masked word value is exactly ``g * 4^m``
+    with only 2 significant bits, hence exact in bfloat16 for every plane.
+    Callers must multiply the matching RHS rows by ``PLANE_SCALES[m]`` (the
+    product then equals g * B exactly; the 4^m cancels inside the MXU
+    multiply with no precision loss).  This shaves ~1/3 of the decode cost
+    of the bandwidth-critical dgemm path.  (Mosaic has no uint32->float
+    casts, so values route through int32 — fine for planes 0..14 whose
+    masked values stay below 2^31; plane 15 uses the plain shift decode.)
+    """
+    planes = [
+        (words & mk).astype(jnp.int32).astype(dtype) for mk in _MASKS
+    ]
+    planes.append(((words >> _SHIFTS[15]) & 3).astype(jnp.int32).astype(dtype))
+    return jnp.concatenate(planes, axis=1)
+
+
+def pick_tile(dim: int, preferred: int, minimum: int) -> int:
+    """Largest power-of-two tile <= preferred that divides ``dim``."""
+    t = preferred
+    while t >= minimum:
+        if dim % t == 0:
+            return t
+        t //= 2
+    return minimum

@@ -1,0 +1,308 @@
+"""dgemm_compressed: genotype matrix x dense matrix, straight off packed bits.
+
+TPU-native replacement for the reference's three GEMM engines — the 5codes
+CPU algorithm (src/miraculix/5codesIntern.h:214-316), the direct-PLINK AVX2
+kernel (src/miraculix/plink256.cc:64-662) and the CUTLASS mixed-input GPU GEMM
+(src/cuda/dgemm_compressed_cuda.cu:218-489).  One Pallas kernel: DMA planar16
+words HBM→VMEM, decode 2-bit genotypes in-register on the VPU, feed the MXU.
+
+Semantics (reference docs/genotype_matrix_multiplication.md, Julia test
+tests/dgemm_compressed/test.jl:96-105): for genotype matrix Z of shape
+(indiv, snps) and allele frequencies f,
+
+    trans='n':  C[indiv, n] = (Z - 2·1·fᵀ) @ B,   B: [snps, n]
+    trans='t':  C[snps,  n] = (Z - 2·1·fᵀ)ᵀ @ B,  B: [indiv, n]
+
+Centering is never materialized: the raw packed product is corrected by a
+rank-1 epilogue, exactly like the reference's cuBLAS epilogue
+(dgemm_compressed_cuda.cu:421-459) and gV_vG_means_double
+(Vector.matrix.D.cc:145-175):
+
+    'n': C -= 2 * (fᵀ B)            (one [n]-vector, broadcast over rows)
+    't': C -= 2 * f ⊗ (1ᵀ B)        (outer product)
+
+Precision: genotypes are exact in bf16.  "fast" splits B into two bf16
+halves (B ≈ hi + lo) and runs two bf16 MXU passes with f32 accumulation —
+f32-grade accuracy at bf16 speed.  "f64" additionally chunks the contraction
+axis and accumulates chunk partials in float64, reaching 1e-4-grade relative
+accuracy on million-SNP reductions (cf. the reference's long-double
+accumulators, Vector.matrix.D.cc:42-229).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geno import GenoMatrix
+from .common import (PLANE_SCALES, decode_planar16_scaled, on_cpu,
+                     pick_tile)
+
+DEFAULT_TILE_R = 256
+DEFAULT_TILE_KW = 128  # 128 packed words = 2048 decoded genotype columns
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _pmm_kernel_split(zq_ref, bhi_ref, blo_ref, out_ref):
+    """acc += decode(zq) @ b_hi + decode(zq) @ b_lo   (two bf16 MXU passes).
+
+    The decode is the mask-only scaled variant (plane m carries g*4^m); the
+    RHS rows arrive pre-scaled by 4^-m so products are exactly g*B.
+    """
+    k = pl.program_id(1)
+    d = decode_planar16_scaled(zq_ref[...], jnp.bfloat16)
+    prod = jnp.dot(d, bhi_ref[...], preferred_element_type=jnp.float32)
+    prod += jnp.dot(d, blo_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[...] = prod
+
+    @pl.when(k != 0)
+    def _acc():
+        out_ref[...] = out_ref[...] + prod
+
+
+def _pmm_kernel_f32(zq_ref, b_ref, out_ref):
+    """acc += decode(zq) @ b in f32 at HIGHEST matmul precision."""
+    k = pl.program_id(1)
+    d = decode_planar16_scaled(zq_ref[...], jnp.float32)
+    prod = jax.lax.dot_general(
+        d, b_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[...] = prod
+
+    @pl.when(k != 0)
+    def _acc():
+        out_ref[...] = out_ref[...] + prod
+
+
+# ---------------------------------------------------------------------------
+# Host-side launcher
+# ---------------------------------------------------------------------------
+
+def _reorder_rhs(b: jax.Array, cols: int, kw: int, tile_kw: int) -> jax.Array:
+    """Pad B [cols, n] to 16*kw rows and reorder rows to plane-tile-major
+    order so that kernel block k (rows [k*16*tile_kw, (k+1)*16*tile_kw)) is
+    exactly the RHS slab matching the decoded columns of packed word tile k.
+
+    Row at original index m*kw + c (plane m, word column c = k*tile_kw + t)
+    moves to position k*16*tile_kw + m*tile_kw + t, scaled by 4^-m to cancel
+    the mask-only decode's 4^m plane factor (exact power-of-two scaling).
+    """
+    n = b.shape[1]
+    nk = kw // tile_kw
+    bpad = jnp.zeros((16 * kw, n), b.dtype).at[:cols].set(b)
+    scales = jnp.asarray(PLANE_SCALES, b.dtype).reshape(16, 1, 1, 1)
+    return (
+        (bpad.reshape(16, nk, tile_kw, n) * scales)
+        .transpose(1, 0, 2, 3)
+        .reshape(16 * kw, n)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_r", "tile_kw", "split", "interpret")
+)
+def packed_matmul(
+    zq: jax.Array,
+    b: jax.Array,
+    *,
+    tile_r: int = DEFAULT_TILE_R,
+    tile_kw: int = DEFAULT_TILE_KW,
+    split: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Raw product decode(zq) @ B_padded -> f32 [rows_pad, n].
+
+    ``zq``: int32 planar16 [rows_pad, kw]; ``b``: [cols, n] real matrix where
+    cols <= 16*kw (padded internally).  No centering.
+    """
+    rows, kw = zq.shape
+    cols, n = b.shape
+    tile_r = pick_tile(rows, tile_r, 8)
+    tile_kw = pick_tile(kw, tile_kw, 128)
+    nk = kw // tile_kw
+
+    b2 = _reorder_rhs(b.astype(jnp.float32), cols, kw, tile_kw)
+    grid = (rows // tile_r, nk)
+
+    zq_spec = pl.BlockSpec((tile_r, tile_kw), lambda r, k: (r, k))
+    b_spec = pl.BlockSpec((16 * tile_kw, n), lambda r, k: (k, 0))
+    out_spec = pl.BlockSpec((tile_r, n), lambda r, k: (r, 0))
+    out_shape = jax.ShapeDtypeStruct((rows, n), jnp.float32)
+
+    flops = 2 * rows * 16 * kw * n * (2 if split else 1)
+    cost = pl.CostEstimate(
+        flops=flops,
+        bytes_accessed=zq.size * 4 + b2.size * b2.dtype.itemsize + rows * n * 4,
+        transcendentals=0,
+    )
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+    )
+
+    if split:
+        # NB: must use reduce_precision, not astype(bf16).astype(f32) — XLA's
+        # allow-excess-precision pass elides downcast/upcast pairs and would
+        # fold blo to 0, silently degrading the split to single-bf16.
+        bhi_f32 = jax.lax.reduce_precision(b2, exponent_bits=8, mantissa_bits=7)
+        bhi = bhi_f32.astype(jnp.bfloat16)
+        blo = (b2 - bhi_f32).astype(jnp.bfloat16)
+        return pl.pallas_call(
+            _pmm_kernel_split,
+            grid=grid,
+            in_specs=[zq_spec, b_spec, b_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            compiler_params=params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(zq, bhi, blo)
+    return pl.pallas_call(
+        _pmm_kernel_f32,
+        grid=grid,
+        in_specs=[zq_spec, b_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=params,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(zq, b2)
+
+
+def packed_matmul_f64(
+    zq: jax.Array,
+    b: jax.Array,
+    *,
+    chunk_kw: int = 1024,
+    **kw_args,
+) -> jax.Array:
+    """packed_matmul with f32-pair RHS splitting and float64 outer
+    accumulation over contraction chunks.
+
+    B is split into an exact float32 hi/lo pair (48 mantissa bits — B's
+    representation error drops to ~1e-14 relative); each chunk of
+    ``chunk_kw`` packed words (= 16*chunk_kw genotype columns) runs through
+    the HIGHEST-precision f32 kernel and partials are summed in float64.
+    Total relative error ~= 2^-24 * sqrt(16*chunk_kw) ~ 1e-5, independent of
+    the total SNP count — the TPU counterpart of the reference's double /
+    long-double accumulators (Vector.matrix.D.cc:42-229, CUTLASS f64 SIMT
+    path dgemm_compressed_cuda.h:111-698).  Requires jax_enable_x64 for a
+    true f64 result; without it the outer accumulation stays f32.
+    """
+    kw_args.pop("split", None)
+    rows, kw = zq.shape
+    cols, n = b.shape
+    b64 = b.astype(jnp.float64)
+    # reduce_precision guards against XLA eliding the f64->f32->f64 pair
+    # (allow-excess-precision), which would fold b_lo to 0.
+    b_hi64 = jax.lax.reduce_precision(b64, exponent_bits=8, mantissa_bits=23)
+    b_hi = b_hi64.astype(jnp.float32)
+    b_lo = (b64 - b_hi64).astype(jnp.float32)
+    # Pad once to the full plane-major row space; chunks slice plane columns.
+    full_hi = jnp.zeros((16 * kw, n), jnp.float32).at[:cols].set(b_hi)
+    full_lo = jnp.zeros((16 * kw, n), jnp.float32).at[:cols].set(b_lo)
+    acc = jnp.zeros((rows, n), jnp.float64)
+    for c0 in range(0, kw, chunk_kw):
+        c1 = min(c0 + chunk_kw, kw)
+        # RHS rows matching word columns [c0, c1): planes at m*kw + c.
+        idx = (jnp.arange(16)[:, None] * kw + jnp.arange(c0, c1)[None, :]).reshape(-1)
+        for half in (full_hi, full_lo):
+            partial = packed_matmul(
+                zq[:, c0:c1], half[idx], split=False, **kw_args
+            )
+            acc = acc + partial.astype(jnp.float64)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Public op
+# ---------------------------------------------------------------------------
+
+def dgemm(
+    g: GenoMatrix,
+    b: jax.Array,
+    trans: str = "n",
+    center: bool = True,
+    normalize: bool = False,
+    precision: str = "fast",
+    ignore_missings: bool = True,
+    tile_r: int = DEFAULT_TILE_R,
+    tile_kw: int = DEFAULT_TILE_KW,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """The ``dgemm_compressed`` entry point (reference 5codesAPI.c:98-110).
+
+    trans='n': C[indiv, n] = (Z - 2·1fᵀ) @ B with B [snps, n]
+    trans='t': C[snps, n]  = (Z - 2·1fᵀ)ᵀ @ B with B [indiv, n]
+    """
+    trans = trans.lower()
+    if trans not in ("n", "t"):
+        raise ValueError(f"trans must be 'n' or 't', got {trans!r}")
+    if interpret is None:
+        interpret = on_cpu()
+    if b.ndim == 1:
+        b = b[:, None]
+
+    if trans == "n":
+        zq, rows, cols = g.zq_n, g.indiv, g.snps
+    else:
+        zq, rows, cols = g.zq_t, g.snps, g.indiv
+    if b.shape[0] != cols:
+        raise ValueError(
+            f"B has {b.shape[0]} rows, expected {cols} for trans='{trans}'"
+        )
+
+    if precision == "f64":
+        c = packed_matmul_f64(
+            zq, b, tile_r=tile_r, tile_kw=tile_kw, split=True,
+            interpret=interpret,
+        )
+    else:
+        c = packed_matmul(
+            zq, b, tile_r=tile_r, tile_kw=tile_kw,
+            split=(precision == "fast"), interpret=interpret,
+        )
+    c = c[:rows]
+
+    if center:
+        f = g.freq.astype(c.dtype)
+        bc = b.astype(c.dtype)
+        if trans == "n":
+            c = c - 2.0 * (f @ bc)[None, :]
+        else:
+            c = c - 2.0 * f[:, None] * jnp.sum(bc, axis=0)[None, :]
+        if not ignore_missings and g.miss_rows_n is not None:
+            c = _missing_correction(g, bc, c, trans)
+    if normalize:
+        c = c / g.sigma2.astype(c.dtype)
+    return c
+
+
+def _missing_correction(g: GenoMatrix, b: jax.Array, c: jax.Array, trans: str):
+    """Centering correction for missing genotypes: a missing entry entered
+    the packed product as genotype 0, hence contributed (0 - 2f_s)·B-row; the
+    reference semantics (Vector.matrix.D.cc:179-208) make it contribute 0.
+    Add back 2 f_s * B[row] at each missing coordinate (i, s)."""
+    mi, ms = g.miss_rows_n, g.miss_cols_n  # (indiv-idx, snp-idx)
+    f = g.freq.astype(c.dtype)
+    if trans == "n":  # C rows = individuals, B rows = snps
+        contrib = 2.0 * f[ms][:, None] * b[ms]
+        return c.at[mi].add(contrib)
+    # 't': C rows = snps, B rows = individuals
+    contrib = 2.0 * f[ms][:, None] * b[mi]
+    return c.at[ms].add(contrib)

@@ -1,0 +1,99 @@
+"""dgemm_compressed correctness vs the dense float64 oracle.
+
+Mirrors reference tests/dgemm_compressed/test.jl (both orientations against
+dense (Z - 2f)·B, tol 1e-1 abs there; we require much tighter) and the
+Fortran tests' 1e-4 relative tolerance (test_5codesapi.f90:43).
+"""
+import numpy as np
+import pytest
+
+import miraculix_tpu as mx
+from miraculix_tpu.io import bed
+from miraculix_tpu.ops import ref_impl
+
+
+def _panel(rng, indiv, snps, missing_rate=0.0):
+    g = bed.simulate_genotypes(indiv, snps, seed=int(rng.integers(1 << 30)),
+                               missing_rate=missing_rate)
+    return g
+
+
+@pytest.mark.parametrize("indiv,snps,n", [(40, 100, 4), (300, 1000, 8), (61, 2049, 3)])
+@pytest.mark.parametrize("trans", ["n", "t"])
+@pytest.mark.parametrize("center", [False, True])
+def test_dgemm_matches_oracle(rng, indiv, snps, n, trans, center):
+    g = _panel(rng, indiv, snps)
+    gm = mx.from_dense(g)
+    rows_b = snps if trans == "n" else indiv
+    b = rng.standard_normal((rows_b, n))
+    c = np.asarray(mx.dgemm(gm, b, trans=trans, center=center))
+    want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64),
+                                 trans=trans, center=center)
+    scale = max(1.0, np.abs(want).max())
+    assert np.abs(c - want).max() / scale < 1e-4
+
+
+@pytest.mark.parametrize("precision,tol", [("fast", 1e-4), ("f32", 1e-5), ("f64", 1e-5)])
+def test_dgemm_precision_modes(rng, precision, tol):
+    g = _panel(rng, 120, 3000)
+    gm = mx.from_dense(g)
+    b = rng.standard_normal((3000, 4))
+    c = np.asarray(mx.dgemm(gm, b, trans="n", center=True, precision=precision))
+    want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64))
+    assert np.abs(c - want).max() / np.abs(want).max() < tol
+
+
+def test_dgemm_normalize(rng):
+    g = _panel(rng, 50, 200)
+    gm = mx.from_dense(g)
+    b = rng.standard_normal((200, 2))
+    c = np.asarray(mx.dgemm(gm, b, normalize=True))
+    want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64),
+                                 normalize=True)
+    assert np.abs(c - want).max() < 1e-4 * max(1.0, np.abs(want).max())
+
+
+def test_dgemm_external_freq(rng):
+    """plink2compressed accepts externally supplied frequencies (5codesAPI.c:80)."""
+    g = _panel(rng, 30, 64)
+    f_ext = rng.uniform(0.1, 0.5, size=64)
+    gm = mx.from_dense(g, freq=f_ext)
+    b = rng.standard_normal((64, 2))
+    c = np.asarray(mx.dgemm(gm, b, center=True))
+    want = ref_impl.dgemm_oracle(g, b, f_ext, center=True)
+    assert np.abs(c - want).max() < 1e-4
+
+
+def test_dgemm_missing_ignored(rng):
+    """Default path: missings enter as genotype 0, centering still global."""
+    g = _panel(rng, 80, 500, missing_rate=0.05)
+    gm = mx.from_dense(g)
+    b = rng.standard_normal((500, 3))
+    c = np.asarray(mx.dgemm(gm, b, center=True, ignore_missings=True))
+    want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64),
+                                 center=True, respect_missings=False)
+    assert np.abs(c - want).max() / np.abs(want).max() < 1e-4
+
+
+@pytest.mark.parametrize("trans", ["n", "t"])
+def test_dgemm_missing_corrected(rng, trans):
+    """ignore_missings=False: missing entries contribute 0 to the centered
+    product (reference Vector.matrix.D.cc:179-208)."""
+    g = _panel(rng, 70, 400, missing_rate=0.08)
+    gm = mx.from_dense(g, keep_missing_info=True)
+    rows_b = 400 if trans == "n" else 70
+    b = rng.standard_normal((rows_b, 3))
+    c = np.asarray(mx.dgemm(gm, b, trans=trans, center=True,
+                            ignore_missings=False))
+    want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64),
+                                 trans=trans, center=True,
+                                 respect_missings=True)
+    assert np.abs(c - want).max() / np.abs(want).max() < 1e-4
+
+
+def test_dgemm_vector_rhs(rng):
+    g = _panel(rng, 20, 50)
+    gm = mx.from_dense(g)
+    b = rng.standard_normal(50)
+    c = np.asarray(mx.dgemm(gm, b))
+    assert c.shape == (20, 1)
