@@ -1,0 +1,80 @@
+"""Benchmark: dgemm_compressed throughput on one TPU chip.
+
+Metric: genotype-column-ops/s = snps * indiv * ncol / wall-second for the
+centered dgemm_compressed ('n').  Baseline = the only quantitative number the
+reference publishes: the 5codes CPU kernel at 150,000 SNPs x 150,000
+individuals, repetV=32 columns, 10 cores, best row-chunk -> 5.1 s
+(src/miraculix/5codesIntern.h:35-50) = 1.412e11 geno-col-ops/s.
+
+Timing method (see .claude/skills/verify/SKILL.md): N iterations inside one
+jit via lax.scan with a data dependence, host-transfer sync, and iters=1 vs
+iters=N+1 differencing — the only method that reports true device time over
+the axon tunnel.  Prints ONE JSON line.
+"""
+import functools
+import json
+import time
+
+import numpy as np
+
+BASELINE_GENO_COL_OPS = 150_000 * 150_000 * 32 / 5.1  # = 1.412e11
+
+# Panel sized to be decode/bandwidth-bound but quick to build/transfer:
+# 4096 indiv x 65536 snps packed = 67 MB, ncol=32 (the baseline's repetV).
+INDIV, SNPS, NCOL = 4096, 65536, 32
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from miraculix_tpu.io import bed, codec
+    from miraculix_tpu.ops.dgemm import packed_matmul
+
+    g = bed.simulate_genotypes(INDIV, SNPS, seed=0)
+    zq = jnp.asarray(codec.pack_planar16(g, row_mult=256))
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((SNPS, NCOL)), jnp.float32)
+    fvec = jnp.asarray(codec.allele_freq(g).astype(np.float32))
+
+    def step(zq, b, f):
+        c = packed_matmul(zq, b)
+        return c - 2.0 * (f.astype(c.dtype) @ b.astype(c.dtype))[None, :]
+
+    def make(iters):
+        @jax.jit
+        def many(zq, b, f):
+            def body(bcur, _):
+                out = step(zq, bcur, f)
+                # scalar feed-forward: serializes iterations, costs nothing
+                return bcur * (1 + out[0, 0] * 1e-30), None
+            bfin, _ = jax.lax.scan(body, b, None, length=iters)
+            return jnp.float32(bfin[0, 0])
+        return functools.partial(many, zq, b, fvec)
+
+    def timed(fn):
+        float(fn())  # warm / compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            float(fn())  # host transfer = real sync over the tunnel
+            best = min(best, time.time() - t0)
+        return best
+
+    n_iters = 16
+    t_base = timed(make(1))
+    t_full = timed(make(n_iters + 1))
+    per = (t_full - t_base) / n_iters
+
+    ops = INDIV * SNPS * NCOL / per
+    print(json.dumps({
+        "metric": "dgemm_compressed geno-col-ops/s (centered 'n', "
+                  f"{SNPS}x{INDIV} ncol={NCOL}, 1 chip)",
+        "value": round(ops / 1e12, 3),
+        "unit": "Tera-ops/s",
+        "vs_baseline": round(ops / BASELINE_GENO_COL_OPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,314 @@
+"""Multi-chip / multi-host execution: SNP-sharded genotype linear algebra.
+
+The reference is a single-node library (one GPU chosen by env var,
+src/cuda/cuda_utils.cu:188-248; OpenMP threads on CPU) — its only "model
+parallelism" is the K-axis column-blocking of the 5codes GEMM with a private
+accumulator per block and a tree reduction (src/miraculix/5codesIntern.h:
+57-99,321-342).  This module is the distributed generalization the TPU build
+adds as a first-class layer: the SNP axis is sharded across a
+``jax.sharding.Mesh``, every device packs/owns its local planar16 shard, and
+partial products merge with ``psum`` / ``psum_scatter`` over ICI.
+
+Sharding layout (mesh axis "k" over the SNP dimension):
+
+- ``zq_n`` [indiv_pad, D*kw_local], axis 1 sharded: device d's block is the
+  planar16 packing of its own SNP range — a concatenation of valid local
+  packings, NOT a global packing split (planar16 is plane-local).
+- ``zq_t`` [D*spd, kw_indiv], axis 0 sharded (spd = snps-per-device): rows
+  are SNPs, so 't' products need no collective at all.
+- dgemm 'n' (contract SNPs): local packed matmul + one psum.
+- dgemm 't' (contract individuals): embarrassingly row-parallel.
+- GRM: local crossproduct + psum (or psum_scatter for the row-sharded GRM).
+- CG: the 't' output (sharded by SNPs) is exactly the 'n' input sharding —
+  the GBLUP operator chains with ONE psum per iteration and never leaves
+  the devices.
+
+Multi-host ingestion: each host reads only its SNP range of the .bed file
+(``plink_slice``), so no host ever materializes the full panel.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..io import codec
+from ..ops.common import on_cpu
+from ..ops.dgemm import packed_matmul
+from ..ops.grm import packed_crossprod
+from ..solve.cg import CGResult
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "k") -> Mesh:
+    """1D device mesh over the SNP (contraction) axis."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShardedGeno:
+    """SNP-sharded genotype matrix across a mesh (see module docstring)."""
+
+    snps: int
+    indiv: int
+    spd: int                 # padded snps per device (multiple of 2048)
+    axis: str
+    zq_n: jax.Array          # [indiv_pad, D*kw_local]  sharded on axis 1
+    zq_t: jax.Array          # [D*spd, kw_indiv]        sharded on axis 0
+    freq: jax.Array          # [D*spd]                  sharded, zero-padded
+
+    def tree_flatten(self):
+        return (self.zq_n, self.zq_t, self.freq), (
+            self.snps, self.indiv, self.spd, self.axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        snps, indiv, spd, axis = aux
+        return cls(snps, indiv, spd, axis, *children)
+
+    @property
+    def kw_local(self) -> int:
+        return self.spd // 16
+
+    @property
+    def sigma2(self) -> jax.Array:
+        f = self.freq.astype(jnp.float32)
+        return 2.0 * jnp.sum(f * (1.0 - f))
+
+
+def shard_genotypes(
+    geno: np.ndarray,
+    mesh: Mesh,
+    freq: Optional[np.ndarray] = None,
+    axis: str = "k",
+    row_mult: int = 256,
+) -> ShardedGeno:
+    """Pack a dense genotype matrix [indiv, snps] into per-device SNP shards.
+
+    Each device's zq_n block is an independent planar16 packing of its SNP
+    range (multi-host analogue: each host packs the slice it read from disk).
+    """
+    geno = np.asarray(geno, dtype=np.uint8)
+    n_indiv, n_snps = geno.shape
+    d = mesh.shape[axis]
+    # per-device SNP count, padded so kw_local is a lane multiple (128*16)
+    spd = _round_up(-(-n_snps // d), 2048)
+    if freq is None:
+        freq = codec.allele_freq(geno, axis=0)
+    freq_pad = np.zeros(d * spd, dtype=np.float32)
+    freq_pad[:n_snps] = np.asarray(freq, dtype=np.float32)
+
+    n_blocks, t_blocks = [], []
+    for i in range(d):
+        sl = geno[:, i * spd: (i + 1) * spd]
+        pad = np.zeros((n_indiv, spd), dtype=np.uint8)
+        pad[:, : sl.shape[1]] = np.where(sl == 3, 0, sl)
+        n_blocks.append(codec.pack_planar16(pad, row_mult=row_mult))
+        t_blocks.append(codec.pack_planar16(
+            np.ascontiguousarray(pad.T), row_mult=8))
+    zq_n_host = np.concatenate(n_blocks, axis=1)
+    zq_t_host = np.concatenate(t_blocks, axis=0)
+
+    sh1 = NamedSharding(mesh, P(None, axis))
+    sh0 = NamedSharding(mesh, P(axis, None))
+    shf = NamedSharding(mesh, P(axis))
+    return ShardedGeno(
+        snps=n_snps,
+        indiv=n_indiv,
+        spd=spd,
+        axis=axis,
+        zq_n=jax.device_put(zq_n_host, sh1),
+        zq_t=jax.device_put(zq_t_host, sh0),
+        freq=jax.device_put(freq_pad, shf),
+    )
+
+
+def _pad_rows(b: jax.Array, rows: int) -> jax.Array:
+    return jnp.zeros((rows, b.shape[1]), b.dtype).at[: b.shape[0]].set(b)
+
+
+# ---------------------------------------------------------------------------
+# Sharded ops (shard_map bodies take LOCAL blocks)
+# ---------------------------------------------------------------------------
+
+def sharded_dgemm(
+    sg: ShardedGeno,
+    b: jax.Array,
+    trans: str = "n",
+    center: bool = True,
+    mesh: Optional[Mesh] = None,
+    split: bool = True,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """dgemm_compressed over the mesh.
+
+    'n': B [snps, n] sharded by SNP rows, C [indiv, n] replicated (one psum).
+    't': B [indiv, n] replicated, C [snps, n] sharded by rows (no psum).
+    """
+    mesh = mesh or _mesh_of(sg)
+    if interpret is None:
+        interpret = on_cpu()
+    ax = sg.axis
+    trans = trans.lower()
+    if b.ndim == 1:
+        b = b[:, None]
+
+    if trans == "n":
+        b_pad = _pad_rows(b, sg.zq_t.shape[0])
+
+        def body(zq_local, b_local, f_local):
+            c = packed_matmul(zq_local, b_local, split=split,
+                              interpret=interpret)
+            if center:
+                c = c - 2.0 * (f_local.astype(c.dtype) @ b_local.astype(c.dtype))[None, :]
+            return jax.lax.psum(c, ax)
+
+        out = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(None, ax), P(ax, None), P(ax)),
+            out_specs=P(None, None), check_vma=False,
+        )(sg.zq_n, b_pad, sg.freq)
+        return out[: sg.indiv]
+
+    def body_t(zq_local, b_rep, f_local):
+        c = packed_matmul(zq_local, b_rep, split=split, interpret=interpret)
+        if center:
+            colsum = jnp.sum(b_rep.astype(c.dtype), axis=0)
+            c = c - 2.0 * f_local.astype(c.dtype)[:, None] * colsum[None, :]
+        return c
+
+    out = jax.shard_map(
+        body_t, mesh=mesh,
+        in_specs=(P(ax, None), P(None, None), P(ax)),
+        out_specs=P(ax, None), check_vma=False,
+    )(sg.zq_t, b, sg.freq)
+    return out[: sg.snps]
+
+
+def sharded_grm(
+    sg: ShardedGeno,
+    scale: bool = True,
+    scatter: bool = False,
+    mesh: Optional[Mesh] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """GRM over the mesh: local integer crossproduct of each SNP shard, then
+    a psum merge (``scatter=True`` uses psum_scatter and returns the GRM
+    row-sharded over the mesh — the layout a distributed solver wants; the
+    rows beyond indiv are zero padding)."""
+    mesh = mesh or _mesh_of(sg)
+    if interpret is None:
+        interpret = on_cpu()
+    ax = sg.axis
+    n = sg.indiv
+
+    def body(zq_local):
+        m = packed_crossprod(zq_local, interpret=interpret)
+        if scatter:
+            return jax.lax.psum_scatter(m, ax, scatter_dimension=0, tiled=True)
+        return jax.lax.psum(m, ax)
+
+    m = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, ax),),
+        out_specs=P(ax, None) if scatter else P(None, None),
+        check_vma=False,
+    )(sg.zq_n)
+    # Schlather finish (docs/grm.md:5-10) in plain XLA; works identically on
+    # the replicated and the row-sharded (scatter) layout because padded
+    # rows/cols of the raw crossproduct are exactly zero.
+    mask = (jnp.arange(m.shape[1]) < n).astype(m.dtype)
+    colsum = (m @ mask)            # [rows] row sums over real columns
+    total_vec = mask @ m           # [cols]; total = sum over real rows
+    total = jnp.sum(total_vec * mask)
+    m = m - total_vec[None, :] / n - colsum[:, None] / n + total / (n * n)
+    if scale:
+        m = m / sg.sigma2.astype(m.dtype)
+    if scatter:
+        rowmask = (jnp.arange(m.shape[0]) < n).astype(m.dtype)
+        return m * rowmask[:, None] * mask[None, :]  # row-sharded [pad, pad]
+    return m[:n, :n]
+
+
+def sharded_grm_matvec(
+    sg: ShardedGeno,
+    v: jax.Array,
+    center: bool = True,
+    mesh: Optional[Mesh] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """G·v in ONE shard_map: 't' pass (row-parallel) chains directly into the
+    'n' pass (one psum) — the sharded GBLUP operator."""
+    mesh = mesh or _mesh_of(sg)
+    if interpret is None:
+        interpret = on_cpu()
+    ax = sg.axis
+    if v.ndim == 1:
+        v = v[:, None]
+
+    def body(zq_t_local, zq_n_local, f_local, v_rep):
+        zv = packed_matmul(zq_t_local, v_rep, interpret=interpret)
+        fl = f_local.astype(zv.dtype)
+        if center:
+            colsum = jnp.sum(v_rep.astype(zv.dtype), axis=0)
+            zv = zv - 2.0 * fl[:, None] * colsum[None, :]
+        gv = packed_matmul(zq_n_local, zv, interpret=interpret)
+        if center:
+            gv = gv - 2.0 * (fl @ zv)[None, :]
+        return jax.lax.psum(gv, ax)
+
+    out = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(ax, None), P(None, ax), P(ax), P(None, None)),
+        out_specs=P(None, None), check_vma=False,
+    )(sg.zq_t, sg.zq_n, sg.freq, v)
+    return out[: sg.indiv]
+
+
+def sharded_cg_solve(
+    sg: ShardedGeno,
+    b: jax.Array,
+    lam: float = 0.0,
+    center: bool = True,
+    tol: float = 1e-2,
+    maxiter: int = 1000,
+    mesh: Optional[Mesh] = None,
+) -> CGResult:
+    """(G + lam I) x = b across the mesh — the fully on-device distributed
+    GBLUP solve (BASELINE.json north star).  One psum per iteration."""
+    mesh = mesh or _mesh_of(sg)  # resolve outside jit (tracers lack .sharding)
+    return _cg_jit(sg, b, lam, center, tol, maxiter, mesh, on_cpu())
+
+
+@functools.partial(jax.jit, static_argnames=("lam", "center", "tol",
+                                             "maxiter", "mesh", "interpret"))
+def _cg_jit(sg, b, lam, center, tol, maxiter, mesh, interpret) -> CGResult:
+    from ..solve.cg import cg
+
+    def op(v):
+        gv = sharded_grm_matvec(sg, v, center=center, mesh=mesh,
+                                interpret=interpret)
+        if lam:
+            gv = gv + lam * v
+        return gv
+
+    return cg(op, b, tol=tol, maxiter=maxiter)
+
+
+def _mesh_of(sg: ShardedGeno) -> Mesh:
+    sharding = sg.zq_n.sharding
+    if isinstance(sharding, NamedSharding):
+        return sharding.mesh
+    raise ValueError("ShardedGeno arrays carry no NamedSharding; pass mesh=")

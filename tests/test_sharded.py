@@ -1,0 +1,97 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed layer (SURVEY.md §2.5); these tests define
+the new contract: N-device results == 1-device results == dense oracle.
+"""
+import jax
+import numpy as np
+import pytest
+
+import miraculix_tpu as mx
+from miraculix_tpu import parallel, solve
+from miraculix_tpu.io import bed
+from miraculix_tpu.ops import ref_impl
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return parallel.make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def panel():
+    g = bed.simulate_genotypes(80, 5000, seed=21)
+    return g
+
+
+def test_shard_roundtrip_shapes(mesh8, panel):
+    sg = parallel.shard_genotypes(panel, mesh8)
+    assert sg.snps == 5000 and sg.indiv == 80
+    assert sg.zq_n.shape[1] == 8 * sg.kw_local
+    assert sg.zq_t.shape[0] == 8 * sg.spd
+
+
+@pytest.mark.parametrize("trans", ["n", "t"])
+@pytest.mark.parametrize("center", [False, True])
+def test_sharded_dgemm_matches_oracle(rng, mesh8, panel, trans, center):
+    sg = parallel.shard_genotypes(panel, mesh8)
+    freq = np.asarray(
+        mx.from_dense(panel).freq, np.float64)
+    rows_b = 5000 if trans == "n" else 80
+    b = rng.standard_normal((rows_b, 3))
+    got = np.asarray(parallel.sharded_dgemm(sg, b, trans=trans, center=center))
+    want = ref_impl.dgemm_oracle(panel, b, freq, trans=trans, center=center)
+    assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-4
+
+
+def test_sharded_matches_single_device(rng, mesh8, panel):
+    """1-chip vs N-chip equality (SURVEY.md §4 multi-node test plan)."""
+    mesh1 = parallel.make_mesh(1)
+    sg8 = parallel.shard_genotypes(panel, mesh8)
+    sg1 = parallel.shard_genotypes(panel, mesh1)
+    b = rng.standard_normal((5000, 2))
+    c8 = np.asarray(parallel.sharded_dgemm(sg8, b, trans="n"))
+    c1 = np.asarray(parallel.sharded_dgemm(sg1, b, trans="n"))
+    np.testing.assert_allclose(c8, c1, rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_grm(mesh8, panel):
+    sg = parallel.shard_genotypes(panel, mesh8)
+    got = np.asarray(parallel.sharded_grm(sg), dtype=np.float64)
+    freq = np.asarray(mx.from_dense(panel).freq, np.float64)
+    want = ref_impl.grm_oracle(panel, freq)
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_sharded_grm_scatter(mesh8, panel):
+    sg = parallel.shard_genotypes(panel, mesh8)
+    full = np.asarray(parallel.sharded_grm(sg, scatter=False), np.float64)
+    scat = np.asarray(parallel.sharded_grm(sg, scatter=True), np.float64)
+    n = sg.indiv
+    np.testing.assert_allclose(scat[:n, :n], full, rtol=1e-5, atol=1e-5)
+    # padding must be exactly zero
+    assert np.abs(scat[n:, :]).max() == 0.0
+    assert np.abs(scat[:, n:]).max() == 0.0
+
+
+def test_sharded_grm_matvec(rng, mesh8, panel):
+    sg = parallel.shard_genotypes(panel, mesh8)
+    freq = np.asarray(mx.from_dense(panel).freq, np.float64)
+    zc = panel.astype(np.float64) - 2.0 * freq[None, :]
+    v = rng.standard_normal((80, 2))
+    got = np.asarray(parallel.sharded_grm_matvec(sg, v))
+    want = zc @ (zc.T @ v)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+
+
+def test_sharded_cg_solve(rng, mesh8, panel):
+    sg = parallel.shard_genotypes(panel, mesh8)
+    freq = np.asarray(mx.from_dense(panel).freq, np.float64)
+    zc = panel.astype(np.float64) - 2.0 * freq[None, :]
+    gmat = zc @ zc.T
+    lam = 100.0
+    b = rng.standard_normal(80)
+    res = parallel.sharded_cg_solve(sg, b, lam=lam, tol=1e-8, maxiter=1000)
+    want = np.linalg.solve(gmat + lam * np.eye(80), b)
+    assert np.abs(np.asarray(res.x) - want).max() < 1e-4
