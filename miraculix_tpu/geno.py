@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .io import codec
+from .io import native as _native
 
 
 @jax.tree_util.register_pytree_node_class
@@ -116,9 +117,10 @@ def from_dense(
     if freq is None:
         freq = codec.allele_freq(geno, axis=0)
     zq_n = codec.pack_planar16(geno, row_mult=row_mult)
-    zq_t = codec.pack_planar16(
-        np.ascontiguousarray(np.where(geno == 3, 0, geno).T), row_mult=row_mult
-    )
+    gt = _native.transpose_u8(geno)  # blocked native transpose (cache-tiled)
+    if gt is None:
+        gt = np.ascontiguousarray(np.where(geno == 3, 0, geno).T)
+    zq_t = codec.pack_planar16(gt, row_mult=row_mult)
     as_arr = jnp.asarray if device_put else (lambda x: x)
     return GenoMatrix(
         snps=n_snps,

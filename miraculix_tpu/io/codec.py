@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import native as _native
+
 # ---------------------------------------------------------------------------
 # Lookup tables (built programmatically, like read_plink.jl:50-120)
 # ---------------------------------------------------------------------------
@@ -77,6 +79,9 @@ def plink_to_dense(plink: np.ndarray, n_within: int) -> np.ndarray:
     for missing.
     """
     plink = np.asarray(plink, dtype=np.uint8)
+    nat = _native.plink_to_dense(plink, n_within)
+    if nat is not None:
+        return nat
     nbytes, nmajor = plink.shape
     # [nbytes, nmajor, 4] -> interleave the within-byte axis
     vals = _PLINK_DECODE[plink]  # [nbytes, nmajor, 4]
@@ -90,6 +95,9 @@ def dense_to_plink(geno: np.ndarray) -> np.ndarray:
     ``geno``: [n_within, n_major] -> uint8 [ceil(n_within/4), n_major].
     """
     geno = np.asarray(geno, dtype=np.uint8)
+    nat = _native.dense_to_plink(geno)
+    if nat is not None:
+        return nat
     n_within, nmajor = geno.shape
     nbytes = (n_within + 3) // 4
     padded = np.zeros((nbytes * 4, nmajor), dtype=np.uint8)
@@ -129,6 +137,10 @@ def allele_freq(geno: np.ndarray, axis: int = 0) -> np.ndarray:
     popcount shortcut read_plink.jl:198-204 counts missings as 1).
     """
     g = np.asarray(geno)
+    if axis == 0 and g.dtype == np.uint8 and g.ndim == 2:
+        nat = _native.allele_freq(np.ascontiguousarray(g))
+        if nat is not None:
+            return nat
     miss = g == _MISSING_SENTINEL
     vals = np.where(miss, 0, g).astype(np.int64)
     called = (~miss).sum(axis=axis)
@@ -176,9 +188,12 @@ def pack_planar16(
     """
     g = np.asarray(geno, dtype=np.uint8)
     rows, cols = g.shape
-    if zero_missing:
-        g = np.where(g == _MISSING_SENTINEL, 0, g)
     rp, kw = planar16_dims(rows, cols, lane, row_mult)
+    if zero_missing:
+        nat = _native.pack_planar16(g, rp, kw)  # strided: works on .T views
+        if nat is not None:
+            return nat
+        g = np.where(g == _MISSING_SENTINEL, 0, g)
     padded = np.zeros((rp, 16 * kw), dtype=np.uint8)
     padded[:rows, :cols] = g
     planes = padded.reshape(rp, 16, kw).astype(np.uint32)

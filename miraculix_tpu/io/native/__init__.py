@@ -1,0 +1,160 @@
+"""ctypes loader for the native host codec (with lazy on-demand build).
+
+The library builds itself with g++ on first use (no pip deps); every entry
+point has a numpy fallback in miraculix_tpu.io.codec, so the package works
+even without a toolchain.  Set MIRACULIX_TPU_NO_NATIVE=1 to force the
+numpy path.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "codec.cpp")
+_SO = os.path.join(_DIR, "libmxcodec.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "-std=c++17", _SRC, "-o", _SO,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native codec; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("MIRACULIX_TPU_NO_NATIVE"):
+            return None
+        if not os.path.exists(_SO) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i64, u8p, u32p, f64p = (
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_double),
+        )
+        lib.mx_plink_to_dense.argtypes = [u8p, i64, i64, i64, u8p]
+        lib.mx_dense_to_plink.argtypes = [u8p, i64, i64, u8p]
+        lib.mx_pack_planar16.argtypes = [u8p, i64, i64, i64, i64, i64, i64, u32p]
+        lib.mx_allele_freq.argtypes = [u8p, i64, i64, f64p]
+        lib.mx_count_missing.argtypes = [u8p, i64, i64]
+        lib.mx_count_missing.restype = i64
+        lib.mx_transpose_u8.argtypes = [u8p, i64, i64, u8p]
+        lib.mx_codec_version.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+# ---------------------------------------------------------------------------
+# numpy-signature wrappers (return None if native unavailable)
+# ---------------------------------------------------------------------------
+
+def plink_to_dense(plink: np.ndarray, n_within: int) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    plink = np.ascontiguousarray(plink, dtype=np.uint8)
+    nbytes, nmajor = plink.shape
+    out = np.empty((n_within, nmajor), dtype=np.uint8)
+    lib.mx_plink_to_dense(_ptr(plink, ctypes.c_uint8), nbytes, nmajor,
+                          n_within, _ptr(out, ctypes.c_uint8))
+    return out
+
+
+def dense_to_plink(geno: np.ndarray) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    geno = np.ascontiguousarray(geno, dtype=np.uint8)
+    n_within, nmajor = geno.shape
+    out = np.empty(((n_within + 3) // 4, nmajor), dtype=np.uint8)
+    lib.mx_dense_to_plink(_ptr(geno, ctypes.c_uint8), n_within, nmajor,
+                          _ptr(out, ctypes.c_uint8))
+    return out
+
+
+def pack_planar16(geno: np.ndarray, rp: int, kw: int) -> Optional[np.ndarray]:
+    """Strided pack: accepts C-contiguous arrays AND transposed views (no
+    host copy for the zq_t orientation)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if geno.dtype != np.uint8:
+        return None
+    rows, cols = geno.shape
+    s0, s1 = geno.strides
+    if s0 % geno.itemsize or s1 % geno.itemsize:
+        return None
+    base = geno
+    # ctypes needs the underlying buffer pointer; strides handle the view.
+    out = np.empty((rp, kw), dtype=np.uint32)
+    lib.mx_pack_planar16(
+        base.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rows, cols, s0 // geno.itemsize, s1 // geno.itemsize,
+        rp, kw, _ptr(out, ctypes.c_uint32))
+    return out
+
+
+def allele_freq(geno: np.ndarray) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    geno = np.ascontiguousarray(geno, dtype=np.uint8)
+    rows, cols = geno.shape
+    out = np.empty(cols, dtype=np.float64)
+    lib.mx_allele_freq(_ptr(geno, ctypes.c_uint8), rows, cols,
+                       _ptr(out, ctypes.c_double))
+    return out
+
+
+def count_missing(geno: np.ndarray) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    geno = np.ascontiguousarray(geno, dtype=np.uint8)
+    rows, cols = geno.shape
+    return int(lib.mx_count_missing(_ptr(geno, ctypes.c_uint8), rows, cols))
+
+
+def transpose_u8(geno: np.ndarray) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    geno = np.ascontiguousarray(geno, dtype=np.uint8)
+    rows, cols = geno.shape
+    out = np.empty((cols, rows), dtype=np.uint8)
+    lib.mx_transpose_u8(_ptr(geno, ctypes.c_uint8), rows, cols,
+                        _ptr(out, ctypes.c_uint8))
+    return out

@@ -1,0 +1,173 @@
+// Native host codec for miraculix_tpu: PLINK decode/encode, planar16
+// packing, allele frequencies, missing scan.
+//
+// This is the TPU framework's equivalent of the reference's native
+// preprocessing layer — the PLINK bit-stream converters
+// (src/miraculix/5codesChar.cc:213-340), the packed transpose
+// (src/bindings/Julia/compressed_operations.jl:45-66) and the missing scan
+// (src/miraculix/plinkUint.cc:155) — rebuilt for the planar16 target layout
+// with OpenMP parallelism.  For a 1M-SNP x 100K-individual panel the host
+// pack touches ~100 GB of genotype bytes; this path keeps ingestion from
+// dominating end-to-end time.
+//
+// C ABI only (loaded via ctypes).  All matrices are C-order (row-major).
+
+#include <cstdint>
+#include <cstring>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// PLINK 2-bit code -> genotype value; missing (01) -> 3.
+static inline uint8_t plink_decode_code(unsigned code) {
+    // 00 -> 0, 01 -> missing(3), 10 -> 1, 11 -> 2
+    static const uint8_t tbl[4] = {0, 3, 1, 2};
+    return tbl[code & 3u];
+}
+
+// geno value -> PLINK 2-bit code (3 = missing -> 01).
+static inline unsigned plink_encode_val(uint8_t v) {
+    static const uint8_t tbl[4] = {0u, 2u, 3u, 1u};
+    return tbl[v & 3u];
+}
+
+// Decode packed PLINK bytes [nbytes, nmajor] -> dense genotypes
+// [n_within, nmajor] (values 0/1/2, 3 = missing).
+void mx_plink_to_dense(const uint8_t* plink, int64_t nbytes, int64_t nmajor,
+                       int64_t n_within, uint8_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < nbytes; ++b) {
+        const uint8_t* src = plink + b * nmajor;
+        for (int i = 0; i < 4; ++i) {
+            int64_t row = 4 * b + i;
+            if (row >= n_within) break;
+            uint8_t* dst = out + row * nmajor;
+            for (int64_t j = 0; j < nmajor; ++j) {
+                dst[j] = plink_decode_code((unsigned)(src[j] >> (2 * i)));
+            }
+        }
+    }
+}
+
+// Encode dense genotypes [n_within, nmajor] -> PLINK bytes
+// [ceil(n_within/4), nmajor].
+void mx_dense_to_plink(const uint8_t* geno, int64_t n_within, int64_t nmajor,
+                       uint8_t* out) {
+    int64_t nbytes = (n_within + 3) / 4;
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < nbytes; ++b) {
+        uint8_t* dst = out + b * nmajor;
+        std::memset(dst, 0, (size_t)nmajor);
+        for (int i = 0; i < 4; ++i) {
+            int64_t row = 4 * b + i;
+            if (row >= n_within) break;
+            const uint8_t* src = geno + row * nmajor;
+            for (int64_t j = 0; j < nmajor; ++j) {
+                dst[j] = (uint8_t)(dst[j] | (plink_encode_val(src[j]) << (2 * i)));
+            }
+        }
+    }
+}
+
+// planar16 pack: genotypes [rows, cols] (row stride rstride, col stride
+// cstride, in ELEMENTS — so a transposed view packs without a host copy)
+// -> uint32 words [rp, kw].  Missing (3) packs as 0.
+void mx_pack_planar16(const uint8_t* geno, int64_t rows, int64_t cols,
+                      int64_t rstride, int64_t cstride,
+                      int64_t rp, int64_t kw, uint32_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < rp; ++r) {
+        uint32_t* dst = out + r * kw;
+        if (r >= rows) {
+            std::memset(dst, 0, (size_t)kw * 4);
+            continue;
+        }
+        const uint8_t* src = geno + r * rstride;
+        for (int64_t c = 0; c < kw; ++c) {
+            uint32_t w = 0;
+            for (int m = 0; m < 16; ++m) {
+                int64_t col = (int64_t)m * kw + c;
+                if (col >= cols) continue;
+                uint32_t g = src[col * cstride];
+                if (g == 3u) g = 0u;  // missing -> 0 at pack time
+                w |= g << (2 * m);
+            }
+            dst[c] = w;
+        }
+    }
+}
+
+// Allele frequencies over rows (axis 0): geno [rows, cols] row-major,
+// missing (3) excluded from numerator and denominator.
+void mx_allele_freq(const uint8_t* geno, int64_t rows, int64_t cols,
+                    double* freq) {
+    int64_t* sums = new int64_t[cols];
+    int64_t* called = new int64_t[cols];
+    std::memset(sums, 0, (size_t)cols * 8);
+    std::memset(called, 0, (size_t)cols * 8);
+#pragma omp parallel
+    {
+        int64_t* lsum = new int64_t[cols]();
+        int64_t* lcall = new int64_t[cols]();
+#pragma omp for schedule(static) nowait
+        for (int64_t r = 0; r < rows; ++r) {
+            const uint8_t* src = geno + r * cols;
+            for (int64_t j = 0; j < cols; ++j) {
+                uint8_t v = src[j];
+                if (v != 3) {
+                    lsum[j] += v;
+                    lcall[j] += 1;
+                }
+            }
+        }
+#pragma omp critical
+        {
+            for (int64_t j = 0; j < cols; ++j) {
+                sums[j] += lsum[j];
+                called[j] += lcall[j];
+            }
+        }
+        delete[] lsum;
+        delete[] lcall;
+    }
+    for (int64_t j = 0; j < cols; ++j) {
+        int64_t n = called[j] > 0 ? called[j] : 1;
+        freq[j] = (double)sums[j] / (2.0 * (double)n);
+    }
+    delete[] sums;
+    delete[] called;
+}
+
+// Count missing entries (value 3) in geno [rows, cols].
+int64_t mx_count_missing(const uint8_t* geno, int64_t rows, int64_t cols) {
+    int64_t total = 0;
+#pragma omp parallel for schedule(static) reduction(+ : total)
+    for (int64_t r = 0; r < rows; ++r) {
+        const uint8_t* src = geno + r * cols;
+        for (int64_t j = 0; j < cols; ++j) total += (src[j] == 3);
+    }
+    return total;
+}
+
+// Blocked byte-matrix transpose: in [rows, cols] -> out [cols, rows].
+void mx_transpose_u8(const uint8_t* in, int64_t rows, int64_t cols,
+                     uint8_t* out) {
+    const int64_t B = 64;
+#pragma omp parallel for collapse(2) schedule(static)
+    for (int64_t r0 = 0; r0 < rows; r0 += B) {
+        for (int64_t c0 = 0; c0 < cols; c0 += B) {
+            int64_t r1 = r0 + B < rows ? r0 + B : rows;
+            int64_t c1 = c0 + B < cols ? c0 + B : cols;
+            for (int64_t r = r0; r < r1; ++r)
+                for (int64_t c = c0; c < c1; ++c)
+                    out[c * rows + r] = in[r * cols + c];
+        }
+    }
+}
+
+int mx_codec_version(void) { return 1; }
+
+}  // extern "C"
