@@ -1,0 +1,250 @@
+"""Coding registry: every genotype/haplotype storage coding the reference
+supports, with host-side pack/unpack to a canonical dense matrix.
+
+Mirrors the 32-value ``coding_type`` enum (src/miraculix/Automiraculix.h:
+35-86) and the per-coding packing kernels (1bit*/2bit*/3bit*/plink*/5codes*/
+OneByte*/4Byte* files).  On TPU there is exactly ONE compute coding —
+planar16 (miraculix_tpu.io.codec) — so these codecs exist for
+interoperability: ingesting foreign buffers, emitting them, and the
+any-to-any Transform (miraculix_tpu.formats.transform).  The canonical
+in-memory form is dense uint8 [indiv, snps] with values 0/1/2 and 3 =
+missing; haplotype codings use [indiv, snps] PAIRS (allele1 + 2*allele2,
+values 0..3).
+"""
+from __future__ import annotations
+
+import enum
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+from ..io import codec
+
+
+class Coding(enum.Enum):
+    """User-facing codings (reference Automiraculix.h:35-86; the unused /
+    purely-technical transposed entries collapse into the ``transpose``
+    argument of Transform)."""
+
+    AUTO = "auto"
+    ONE_BIT = "one_bit"            # OneBitGeno: genotypes 0/1, 1 bit each
+    TWO_BIT = "two_bit"            # TwoBitGeno: genotypes 0..2 verbatim
+    THREE_BIT = "three_bit"        # ThreeBit
+    PLINK = "plink"                # Plink / OrigPlink byte codes
+    FIVE_CODES = "five_codes"      # FiveCodes: 5 genotypes base-3 per byte
+    FOUR_BIT = "four_bit"          # FourBit (GPU-internal in the reference)
+    ONE_BYTE = "one_byte"          # OneByteGeno (the reference's test oracle)
+    FOUR_BYTE = "four_byte"        # FourByteGeno (R ints)
+    PLANAR16 = "planar16"          # OUR compute coding (TPU-native)
+    ONE_BIT_HAPLO = "one_bit_haplo"
+    TWO_BIT_HAPLO = "two_bit_haplo"
+    ONE_BYTE_HAPLO = "one_byte_haplo"
+    FOUR_BYTE_HAPLO = "four_byte_haplo"
+
+
+GENO_CODINGS = {
+    Coding.ONE_BIT, Coding.TWO_BIT, Coding.THREE_BIT, Coding.PLINK,
+    Coding.FIVE_CODES, Coding.FOUR_BIT, Coding.ONE_BYTE, Coding.FOUR_BYTE,
+    Coding.PLANAR16,
+}
+HAPLO_CODINGS = {
+    Coding.ONE_BIT_HAPLO, Coding.TWO_BIT_HAPLO, Coding.ONE_BYTE_HAPLO,
+    Coding.FOUR_BYTE_HAPLO,
+}
+
+
+# ---------------------------------------------------------------------------
+# bit-packing helpers (within-byte, low bits first, per column — the layout
+# every miraculix coding shares: entries packed along the individual axis)
+# ---------------------------------------------------------------------------
+
+def _pack_bits(values: np.ndarray, bits: int) -> np.ndarray:
+    """Pack [n_within, n_major] small ints into bytes, ``bits`` per entry,
+    low bits first along axis 0 -> [ceil(n_within*bits/8), n_major]."""
+    n_within, n_major = values.shape
+    per_byte = 8 // bits
+    nbytes = -(-n_within // per_byte)
+    padded = np.zeros((nbytes * per_byte, n_major), dtype=np.uint16)
+    padded[:n_within] = values
+    out = np.zeros((nbytes, n_major), dtype=np.uint16)
+    for i in range(per_byte):
+        out |= padded[i::per_byte] << (bits * i)
+    return out.astype(np.uint8)
+
+
+def _unpack_bits(packed: np.ndarray, bits: int, n_within: int) -> np.ndarray:
+    nbytes, n_major = packed.shape
+    per_byte = 8 // bits
+    mask = (1 << bits) - 1
+    out = np.zeros((nbytes * per_byte, n_major), dtype=np.uint8)
+    for i in range(per_byte):
+        out[i::per_byte] = (packed >> (bits * i)) & mask
+    return out[:n_within]
+
+
+# ---------------------------------------------------------------------------
+# per-coding encode/decode (dense [indiv, snps] <-> packed buffer)
+# dense orientation note: packing is SNP-major like .bed — each packed
+# column is one SNP over individuals.
+# ---------------------------------------------------------------------------
+
+def _enc_two_bit(g):  # genotype value verbatim in 2 bits; missing -> 3
+    return _pack_bits(g.T.astype(np.uint16), 2).T
+
+
+def _dec_two_bit(buf, indiv, snps):
+    return _unpack_bits(buf.T, 2, snps).T[:indiv]
+
+
+def _enc_plink(g):
+    return codec.dense_to_plink(g)
+
+
+def _dec_plink(buf, indiv, snps):
+    return codec.plink_to_dense(buf, indiv)
+
+
+def _enc_one_bit(g):
+    if (np.asarray(g) > 1).any():
+        raise ValueError("OneBit coding holds genotypes 0/1 only")
+    return _pack_bits(g.T.astype(np.uint16), 1).T
+
+
+def _dec_one_bit(buf, indiv, snps):
+    return _unpack_bits(buf.T, 1, snps).T[:indiv]
+
+
+def _enc_three_bit(g):
+    # 3-bit fields, 2 per byte (reference ThreeBit is variant-64-only and
+    # packs 21 codes per 64-bit unit; byte-granular here).
+    return _pack_bits(np.where(g == 3, 4, g).T.astype(np.uint16), 4).T
+
+
+def _enc_four_bit(g):
+    return _pack_bits(g.T.astype(np.uint16), 4).T
+
+
+def _dec_four_bit(buf, indiv, snps):
+    return _unpack_bits(buf.T, 4, snps).T[:indiv]
+
+
+_POW3 = np.array([1, 3, 9, 27, 81], dtype=np.uint16)
+
+
+def _enc_five_codes(g):
+    """5 genotypes base-3 per byte (reference 5codesUint.cc:55-101 tables;
+    3^5 = 243 <= 256).  Missing packs as 0 (no missing support, matching
+    tuning.missingsFully0)."""
+    g = np.where(np.asarray(g) == 3, 0, np.asarray(g)).astype(np.uint16)
+    indiv, snps = g.shape
+    gt = g.T  # [snps, indiv]: pack along individuals
+    nbytes = -(-indiv // 5)
+    padded = np.zeros((snps, nbytes * 5), dtype=np.uint16)
+    padded[:, :indiv] = gt
+    vals = (padded.reshape(snps, nbytes, 5) * _POW3[None, None, :]).sum(-1)
+    return vals.astype(np.uint8).T  # [nbytes, snps]
+
+
+def _dec_five_codes(buf, indiv, snps):
+    b = buf.T.astype(np.uint16)  # [snps, nbytes]
+    digits = []
+    for p in range(5):
+        digits.append((b // _POW3[p]) % 3)
+    out = np.stack(digits, axis=-1).reshape(snps, -1)[:, :indiv]
+    return out.astype(np.uint8).T
+
+
+def _enc_one_byte(g):
+    return np.asarray(g, dtype=np.uint8).T.copy()  # [snps, indiv] bytes
+
+
+def _dec_one_byte(buf, indiv, snps):
+    return buf.T[:indiv].astype(np.uint8)
+
+
+def _enc_four_byte(g):
+    return np.asarray(g, dtype=np.int32).T.copy()
+
+
+def _dec_four_byte(buf, indiv, snps):
+    return buf.T[:indiv].astype(np.uint8)
+
+
+def _enc_planar16(g):
+    return codec.pack_planar16(np.asarray(g, dtype=np.uint8))
+
+
+def _dec_planar16(buf, indiv, snps):
+    return codec.unpack_planar16(buf, indiv, snps)
+
+
+# haplotype codings: canonical dense haplo = uint8 [indiv, snps] with
+# value = allele1 + 2*allele2 (each in {0,1})
+def _enc_two_bit_haplo(h):
+    return _pack_bits(h.T.astype(np.uint16), 2).T
+
+
+def _dec_two_bit_haplo(buf, indiv, snps):
+    return _unpack_bits(buf.T, 2, snps).T[:indiv]
+
+
+def _enc_one_bit_haplo(h):
+    """Two stacked 1-bit planes (allele1 block, then allele2 block) —
+    reference OneBitHaplo (1bit.h:20-75)."""
+    a1 = (h & 1).astype(np.uint16)
+    a2 = ((h >> 1) & 1).astype(np.uint16)
+    return np.concatenate(
+        [_pack_bits(a1.T, 1).T, _pack_bits(a2.T, 1).T], axis=0)
+
+
+def _dec_one_bit_haplo(buf, indiv, snps):
+    half = buf.shape[0] // 2
+    a1 = _unpack_bits(buf[:half].T, 1, snps).T[:indiv]
+    a2 = _unpack_bits(buf[half:].T, 1, snps).T[:indiv]
+    return (a1 + 2 * a2).astype(np.uint8)
+
+
+def _enc_one_byte_haplo(h):
+    return np.asarray(h, dtype=np.uint8).T.copy()
+
+
+def _enc_four_byte_haplo(h):
+    return np.asarray(h, dtype=np.int32).T.copy()
+
+
+_CODECS: Dict[Coding, Tuple[Callable, Callable]] = {
+    Coding.ONE_BIT: (_enc_one_bit, _dec_one_bit),
+    Coding.TWO_BIT: (_enc_two_bit, _dec_two_bit),
+    Coding.THREE_BIT: (_enc_three_bit, _dec_four_bit),
+    Coding.PLINK: (_enc_plink, _dec_plink),
+    Coding.FIVE_CODES: (_enc_five_codes, _dec_five_codes),
+    Coding.FOUR_BIT: (_enc_four_bit, _dec_four_bit),
+    Coding.ONE_BYTE: (_enc_one_byte, _dec_one_byte),
+    Coding.FOUR_BYTE: (_enc_four_byte, _dec_four_byte),
+    Coding.PLANAR16: (_enc_planar16, _dec_planar16),
+    Coding.ONE_BIT_HAPLO: (_enc_one_bit_haplo, _dec_one_bit_haplo),
+    Coding.TWO_BIT_HAPLO: (_enc_two_bit_haplo, _dec_two_bit_haplo),
+    Coding.ONE_BYTE_HAPLO: (_enc_one_byte_haplo, _dec_one_byte),
+    Coding.FOUR_BYTE_HAPLO: (_enc_four_byte_haplo, _dec_four_byte),
+}
+
+
+def encode(dense: np.ndarray, coding: Coding) -> np.ndarray:
+    """Dense canonical matrix -> packed buffer in ``coding``."""
+    if coding not in _CODECS:
+        raise ValueError(f"coding {coding} has no codec")
+    return _CODECS[coding][0](np.asarray(dense))
+
+
+def decode(buf: np.ndarray, coding: Coding, indiv: int, snps: int) -> np.ndarray:
+    """Packed buffer -> dense canonical matrix [indiv, snps]."""
+    if coding not in _CODECS:
+        raise ValueError(f"coding {coding} has no codec")
+    return _CODECS[coding][1](np.asarray(buf), indiv, snps)
+
+
+def haplo_to_geno(haplo: np.ndarray) -> np.ndarray:
+    """Collapse a dense haplotype matrix (allele1 + 2*allele2) to genotypes
+    (allele sums) — reference TwoBithaplo2geno* (src/miraculix/Haplo*)."""
+    h = np.asarray(haplo)
+    return ((h & 1) + ((h >> 1) & 1)).astype(np.uint8)
