@@ -1,0 +1,178 @@
+"""Standalone driver CLI — the reference's benchmark/validation binary
+(src/miraculix/main.cc:401-816, the "Wageningen/run" driver) rebuilt:
+simulate panels, validate codings against the OneByte oracle, time the
+core ops, and run the GBLUP pipeline.
+
+    python -m miraculix_tpu.cli simulate --snps 50000 --indiv 10000 out.bed
+    python -m miraculix_tpu.cli validate --snps 2000 --indiv 300
+    python -m miraculix_tpu.cli bench --snps 65536 --indiv 4096 --ncol 32
+    python -m miraculix_tpu.cli gblup panel.bed --h2 0.5
+    python -m miraculix_tpu.cli info
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def cmd_info(args) -> int:
+    from .utils.logging import print_compile_info
+
+    print_compile_info()
+    return 0
+
+
+def cmd_simulate(args) -> int:
+    from .io import bed
+
+    geno = bed.simulate_genotypes(args.indiv, args.snps, seed=args.seed,
+                                  missing_rate=args.missing_rate)
+    bed.write_bed(args.out, geno)
+    bed.write_freq(args.out[:-4] + ".freq",
+                   __import__("miraculix_tpu.io.codec", fromlist=["x"])
+                   .allele_freq(geno))
+    print(f"wrote {args.out}: {args.indiv} x {args.snps}")
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Differential validation: random panel in OneByte oracle coding,
+    transform through every coding, compare dgemm / crossprod results
+    elementwise (main.cc:583-760 cmp modes)."""
+    from . import dgemm, from_dense, grm
+    from .formats import Coding, CodedMatrix, encode, transform
+    from .io import bed
+    from .ops import ref_impl
+
+    rng = np.random.default_rng(args.seed)
+    geno = bed.simulate_genotypes(args.indiv, args.snps, seed=args.seed)
+    oracle = CodedMatrix(encode(geno, Coding.ONE_BYTE), Coding.ONE_BYTE,
+                         args.snps, args.indiv)
+    failures = 0
+    for coding in (Coding.TWO_BIT, Coding.PLINK, Coding.FIVE_CODES,
+                   Coding.PLANAR16):
+        dense = transform(oracle, coding).dense()
+        ok = np.array_equal(dense, geno)
+        print(f"coding {coding.value:<12s} round-trip: {'ok' if ok else 'FAIL'}")
+        failures += not ok
+
+    gm = from_dense(geno)
+    freq = np.asarray(gm.freq, np.float64)
+    b = rng.standard_normal((args.snps, args.ncol))
+    got = np.asarray(dgemm(gm, b, trans="n", center=True))
+    want = ref_impl.dgemm_oracle(geno, b, freq)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    print(f"dgemm 'n' vs OneByte oracle: rel-err {err:.2e} "
+          f"{'ok' if err < 1e-4 else 'FAIL'}")
+    failures += err >= 1e-4
+
+    gg = np.asarray(grm(gm), np.float64)
+    gw = ref_impl.grm_oracle(geno, freq)
+    gerr = np.abs(gg - gw).max()
+    print(f"GRM vs oracle: abs-err {gerr:.2e} {'ok' if gerr < 1e-4 else 'FAIL'}")
+    failures += gerr >= 1e-4
+    return 1 if failures else 0
+
+
+def cmd_bench(args) -> int:
+    """Time the core ops (benchmark.f90 / main.cc timing loops)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .io import bed, codec
+    from .ops.dgemm import packed_matmul
+    from .ops.grm import packed_crossprod
+    from .utils.logging import PhaseTimer
+
+    t = PhaseTimer(verbose=True)
+    with t.phase("simulate"):
+        geno = bed.simulate_genotypes(args.indiv, args.snps, seed=args.seed)
+    with t.phase("pack (host)"):
+        zq = codec.pack_planar16(geno, row_mult=256)
+    with t.phase("h2d"):
+        zqd = jnp.asarray(zq)
+    rng = np.random.default_rng(args.seed)
+    b = jnp.asarray(rng.standard_normal((args.snps, args.ncol)), jnp.float32)
+
+    def timed_scan(fn, iters=8):
+        @jax.jit
+        def many(*a):
+            def body(c, _):
+                out = fn(*a)
+                return c * (1 + out[0, 0] * 1e-30), None
+            c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=iters)
+            return c
+        float(many(*a_args))  # warm
+        t0 = time.time()
+        float(many(*a_args))
+        return (time.time() - t0) / iters
+
+    a_args = (zqd, b)
+    per = timed_scan(lambda z, bb: packed_matmul(z, bb))
+    ops = args.snps * args.indiv * args.ncol / per
+    print(f"dgemm:  {per * 1e3:8.2f} ms  {ops / 1e12:6.2f} T geno-col-ops/s")
+
+    if args.grm:
+        a_args = (zqd,)
+        per = timed_scan(lambda z: packed_crossprod(z), iters=2)
+        flops = 2.0 * args.indiv ** 2 * args.snps
+        print(f"GRM:    {per * 1e3:8.2f} ms  {flops / per / 1e12:6.1f} TFLOP/s")
+    print(t.report())
+    return 0
+
+
+def cmd_gblup(args) -> int:
+    from .gblup import run_gblup  # lazy import
+
+    return run_gblup(args.bed, h2=args.h2, pcs=args.pcs, solver=args.solver)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="miraculix_tpu",
+                                description=__doc__.splitlines()[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("info")
+
+    s = sub.add_parser("simulate")
+    s.add_argument("out")
+    s.add_argument("--snps", type=int, default=10000)
+    s.add_argument("--indiv", type=int, default=1000)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--missing-rate", type=float, default=0.0)
+
+    v = sub.add_parser("validate")
+    v.add_argument("--snps", type=int, default=2000)
+    v.add_argument("--indiv", type=int, default=300)
+    v.add_argument("--ncol", type=int, default=8)
+    v.add_argument("--seed", type=int, default=0)
+
+    b = sub.add_parser("bench")
+    b.add_argument("--snps", type=int, default=65536)
+    b.add_argument("--indiv", type=int, default=4096)
+    b.add_argument("--ncol", type=int, default=32)
+    b.add_argument("--seed", type=int, default=0)
+    b.add_argument("--grm", action="store_true")
+
+    g = sub.add_parser("gblup")
+    g.add_argument("bed")
+    g.add_argument("--h2", type=float, default=0.5)
+    g.add_argument("--pcs", type=int, default=10)
+    g.add_argument("--solver", choices=["cg", "dense"], default="cg")
+
+    args = p.parse_args(argv)
+    return {
+        "info": cmd_info,
+        "simulate": cmd_simulate,
+        "validate": cmd_validate,
+        "bench": cmd_bench,
+        "gblup": cmd_gblup,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

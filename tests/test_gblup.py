@@ -1,0 +1,67 @@
+"""GBLUP pipeline tests (reference examples/gblup/calculate_gblup.jl
+semantics): randomized PCA vs direct eigendecomposition, CG vs dense GBLUP
+agreement, predictive correlation on simulated phenotypes."""
+import numpy as np
+import pytest
+
+import miraculix_tpu as mx
+from miraculix_tpu import gblup
+from miraculix_tpu.io import bed
+from miraculix_tpu.ops import ref_impl
+
+
+@pytest.fixture(scope="module")
+def panel():
+    g = bed.simulate_genotypes(150, 1200, seed=60)
+    return g, mx.from_dense(g)
+
+
+def test_randomized_pca_matches_direct():
+    """Structured panel (two diverged subpopulations) — the regime PCA
+    covariates exist for; randomized eigenpairs must match the direct ones."""
+    rng = np.random.default_rng(7)
+    maf_a = rng.uniform(0.05, 0.5, 800)
+    maf_b = np.clip(maf_a + rng.normal(0, 0.2, 800), 0.02, 0.98)
+    rows = []
+    for maf, n in ((maf_a, 60), (maf_b, 60)):
+        u = rng.random((n, 800))
+        hom = (1 - maf) ** 2
+        het = hom + 2 * maf * (1 - maf)
+        rows.append(np.where(u < hom, 0, np.where(u < het, 1, 2)))
+    geno = np.concatenate(rows).astype(np.uint8)
+    gm = mx.from_dense(geno)
+    freq = np.asarray(gm.freq, np.float64)
+    gmat = ref_impl.grm_oracle(geno, freq, scale=False)
+    w_true, v_true = np.linalg.eigh(gmat)
+    w_true = w_true[::-1]
+    w, v = gblup.randomized_grm_pca(gm, k=3, power_iters=4, seed=1)
+    np.testing.assert_allclose(w[0], w_true[0], rtol=1e-4)
+    assert abs(np.dot(v[:, 0], v_true[:, -1])) > 0.999
+    np.testing.assert_allclose(w[:3], w_true[:3], rtol=0.05)
+
+
+def test_gblup_cg_matches_dense(panel):
+    geno, gm = panel
+    y, bv = gblup.simulate_phenotypes(geno, h2=0.5, seed=2)
+    res_cg = gblup.gblup(gm, y, h2=0.5, n_pcs=2, solver="cg",
+                         tol=1e-7, maxiter=4000, seed=3)
+    res_dn = gblup.gblup(gm, y, h2=0.5, n_pcs=2, solver="dense", seed=3)
+    np.testing.assert_allclose(res_cg.beta, res_dn.beta, atol=1e-3)
+    assert np.abs(res_cg.g_hat - res_dn.g_hat).max() < 1e-2
+
+
+def test_gblup_predicts(panel):
+    geno, gm = panel
+    y, bv = gblup.simulate_phenotypes(geno, h2=0.8, n_qtl=50, seed=4)
+    res = gblup.gblup(gm, y, h2=0.8, n_pcs=0, solver="cg", tol=1e-5)
+    cor = np.corrcoef(res.g_hat, bv)[0, 1]
+    assert cor > 0.5  # signal recovered
+    cor_fit = np.corrcoef(res.fitted, y)[0, 1]
+    assert cor_fit > 0.7
+
+
+def test_run_gblup_cli_path(tmp_path, panel):
+    geno, _ = panel
+    path = str(tmp_path / "p.bed")
+    bed.write_bed(path, geno)
+    assert gblup.run_gblup(path, h2=0.5, pcs=2, solver="cg") == 0
