@@ -151,3 +151,36 @@ def from_bed(path: str, freq: Optional[np.ndarray] = None, **kw: Any) -> GenoMat
 
     geno, computed_freq = bed.read_bed_genotypes(path)
     return from_dense(geno, freq=freq if freq is not None else computed_freq, **kw)
+
+
+def save(path: str, g: GenoMatrix) -> None:
+    """Checkpoint the packed container (.npz): skips the PLINK decode + pack
+    on reload — a capability the reference lacks entirely (SURVEY.md §5:
+    'no checkpoint/resume anywhere')."""
+    np.savez_compressed(
+        path,
+        snps=g.snps,
+        indiv=g.indiv,
+        zq_n=np.asarray(g.zq_n),
+        zq_t=np.asarray(g.zq_t),
+        freq=np.asarray(g.freq),
+        miss_rows=(np.asarray(g.miss_rows_n)
+                   if g.miss_rows_n is not None else np.zeros(0, np.int32)),
+        miss_cols=(np.asarray(g.miss_cols_n)
+                   if g.miss_cols_n is not None else np.zeros(0, np.int32)),
+    )
+
+
+def load(path: str) -> GenoMatrix:
+    """Inverse of :func:`save`; buffers go straight to device."""
+    z = np.load(path)
+    has_miss = z["miss_rows"].size > 0
+    return GenoMatrix(
+        snps=int(z["snps"]),
+        indiv=int(z["indiv"]),
+        zq_n=jnp.asarray(z["zq_n"]),
+        zq_t=jnp.asarray(z["zq_t"]),
+        freq=jnp.asarray(z["freq"]),
+        miss_rows_n=jnp.asarray(z["miss_rows"]) if has_miss else None,
+        miss_cols_n=jnp.asarray(z["miss_cols"]) if has_miss else None,
+    )

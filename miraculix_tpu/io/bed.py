@@ -56,6 +56,36 @@ def read_bed(path: str):
     return plink, n_snps, n_indiv
 
 
+def read_bed_slice(path: str, snp_start: int, snp_end: int):
+    """Read only the SNP range [snp_start, snp_end) of a .bed fileset.
+
+    SNP-major .bed layout makes a SNP range one contiguous byte span, so a
+    host ingesting its shard seeks straight to it — the multi-host
+    ingestion primitive (SURVEY.md §7 hard part (f): each host reads its
+    SNP shard range; no host materializes the full panel).
+
+    Returns ``(plink_slice, n_snps_total, n_indiv)`` with ``plink_slice``
+    uint8 [ceil(indiv/4), snp_end - snp_start].
+    """
+    fam = path[:-4] + ".fam"
+    bim = path[:-4] + ".bim"
+    n_indiv = _count_lines(fam)
+    n_snps = _count_lines(bim)
+    snp_end = min(snp_end, n_snps)
+    snp_start = min(snp_start, snp_end)  # past-the-end shard -> empty slice
+    if snp_start < 0:
+        raise ValueError("bad SNP range")
+    nbytes = (n_indiv + 3) // 4
+    with open(path, "rb") as fh:
+        if fh.read(3) != BED_MAGIC:
+            raise ValueError("not a valid .bed file (bad magic bytes)")
+        fh.seek(3 + snp_start * nbytes)
+        payload = np.frombuffer(fh.read((snp_end - snp_start) * nbytes),
+                                dtype=np.uint8)
+    plink = payload.reshape(snp_end - snp_start, nbytes).T.copy()
+    return plink, n_snps, n_indiv
+
+
 def read_bed_genotypes(path: str):
     """Read a .bed fileset and decode to a dense genotype matrix.
 

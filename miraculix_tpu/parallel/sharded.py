@@ -135,6 +135,52 @@ def shard_genotypes(
     )
 
 
+def shard_genotypes_from_bed(
+    path: str,
+    mesh: Mesh,
+    freq: Optional[np.ndarray] = None,
+    axis: str = "k",
+    row_mult: int = 256,
+) -> ShardedGeno:
+    """Multi-host ingestion: build a ShardedGeno by reading each device's
+    SNP range straight from the .bed file (io.bed.read_bed_slice) — no
+    process ever holds the full dense panel.  On a real multi-host pod each
+    host executes only its own slices (addressable devices)."""
+    from ..io import bed as bedio
+
+    d = mesh.shape[axis]
+    # probe dims from companions
+    n_indiv = bedio._count_lines(path[:-4] + ".fam")
+    n_snps = bedio._count_lines(path[:-4] + ".bim")
+    spd = _round_up(-(-n_snps // d), 2048)
+
+    n_blocks, t_blocks, fsums = [], [], []
+    for i in range(d):
+        plink, _, _ = bedio.read_bed_slice(path, i * spd, (i + 1) * spd)
+        sl = codec.plink_to_dense(plink, n_indiv)  # [indiv, <=spd]
+        pad = np.zeros((n_indiv, spd), dtype=np.uint8)
+        pad[:, : sl.shape[1]] = np.where(sl == 3, 0, sl)
+        n_blocks.append(codec.pack_planar16(pad, row_mult=row_mult))
+        t_blocks.append(codec.pack_planar16(
+            np.ascontiguousarray(pad.T), row_mult=8))
+        fpart = np.zeros(spd, dtype=np.float32)
+        fpart[: sl.shape[1]] = codec.allele_freq(sl, axis=0)
+        fsums.append(fpart)
+    freq_pad = (np.concatenate(fsums) if freq is None else
+                np.concatenate([np.asarray(freq, np.float32),
+                                np.zeros(d * spd - n_snps, np.float32)]))
+
+    sh1 = NamedSharding(mesh, P(None, axis))
+    sh0 = NamedSharding(mesh, P(axis, None))
+    shf = NamedSharding(mesh, P(axis))
+    return ShardedGeno(
+        snps=n_snps, indiv=n_indiv, spd=spd, axis=axis,
+        zq_n=jax.device_put(np.concatenate(n_blocks, axis=1), sh1),
+        zq_t=jax.device_put(np.concatenate(t_blocks, axis=0), sh0),
+        freq=jax.device_put(freq_pad, shf),
+    )
+
+
 def _pad_rows(b: jax.Array, rows: int) -> jax.Array:
     return jnp.zeros((rows, b.shape[1]), b.dtype).at[: b.shape[0]].set(b)
 

@@ -53,7 +53,8 @@ def test_sharded_matches_single_device(rng, mesh8, panel):
     b = rng.standard_normal((5000, 2))
     c8 = np.asarray(parallel.sharded_dgemm(sg8, b, trans="n"))
     c1 = np.asarray(parallel.sharded_dgemm(sg1, b, trans="n"))
-    np.testing.assert_allclose(c8, c1, rtol=1e-5, atol=1e-4)
+    # f32 partials reduce in a different order across meshes
+    np.testing.assert_allclose(c8, c1, atol=1e-4 * np.abs(c1).max())
 
 
 def test_sharded_grm(mesh8, panel):
