@@ -57,30 +57,66 @@ def _crossprod_kernel(zi_ref, zj_ref, out_ref):
         out_ref[...] = out_ref[...] + prod
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "tile_kw", "interpret"))
+def _crossprod_tri_kernel(zi_ref, zj_ref, out_ref):
+    """Upper-triangle-only variant: tiles with j < i skip the MXU work
+    entirely (the reference computes only the upper triangle too and
+    mirrors on the host, snp_multiply_cuda.cu:194-340).  Skipped tiles
+    still pay their (tiny) DMA; compute is what dominates."""
+    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(j >= i)
+    def _compute():
+        di = decode_planar16(zi_ref[...], jnp.bfloat16)
+        dj = decode_planar16(zj_ref[...], jnp.bfloat16)
+        prod = jax.lax.dot_general(
+            di, dj,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == 0)
+        def _init():
+            out_ref[...] = prod
+
+        @pl.when(k != 0)
+        def _acc():
+            out_ref[...] = out_ref[...] + prod
+
+    @pl.when(jnp.logical_and(j < i, k == 0))
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_kw", "interpret",
+                                              "triangle"))
 def packed_crossprod(
     zq: jax.Array,
     *,
     tile_m: int = DEFAULT_TILE_M,
     tile_kw: int = DEFAULT_TILE_KW,
     interpret: bool = False,
+    triangle: bool = True,
 ) -> jax.Array:
     """Raw integer crossproduct decode(zq) @ decode(zq)ᵀ -> f32 [rows, rows].
 
     Exact integers while snps < 2^22 (see module docstring).
+    ``triangle=True`` computes only upper-triangle tiles (~2x less MXU work)
+    and mirrors with one elementwise pass.
     """
     rows, kw = zq.shape
     tile_m = pick_tile(rows, tile_m, 8)
     tile_kw = pick_tile(kw, tile_kw, 128)
-    grid = (rows // tile_m, rows // tile_m, kw // tile_kw)
+    nt = rows // tile_m
+    grid = (nt, nt, kw // tile_kw)
 
+    tri = triangle and nt > 1
     cost = pl.CostEstimate(
-        flops=2 * rows * rows * 16 * kw,
-        bytes_accessed=2 * rows * kw * 4 * (rows // tile_m) + rows * rows * 4,
+        flops=2 * rows * rows * 16 * kw // (2 if tri else 1),
+        bytes_accessed=2 * rows * kw * 4 * nt + rows * rows * 4,
         transcendentals=0,
     )
-    return pl.pallas_call(
-        _crossprod_kernel,
+    w = pl.pallas_call(
+        _crossprod_tri_kernel if tri else _crossprod_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_m, tile_kw), lambda i, j, k: (i, k)),
@@ -94,6 +130,13 @@ def packed_crossprod(
         cost_estimate=cost,
         interpret=interpret,
     )(zq, zq)
+    if not tri:
+        return w
+    # mirror: M = W + Wᵀ − blockdiag(W)  (diagonal tiles were fully computed
+    # and are symmetric, so W + Wᵀ double-counts exactly them)
+    blk = jnp.arange(rows, dtype=jnp.int32) // tile_m
+    diag_mask = (blk[:, None] == blk[None, :]).astype(w.dtype)
+    return w + w.T - w * diag_mask
 
 
 def snp_crossprod(
