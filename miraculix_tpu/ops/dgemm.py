@@ -42,24 +42,29 @@ from ..geno import GenoMatrix
 from .common import (PLANE_SCALES, decode_planar16_scaled, on_cpu,
                      pick_tile)
 
-DEFAULT_TILE_R = 256
-DEFAULT_TILE_KW = 128  # 128 packed words = 2048 decoded genotype columns
+DEFAULT_TILE_R = 1024  # swept on v5e: 1024x256 -> 23.4 Tops/s at ncol=32,
+DEFAULT_TILE_KW = 256  # ~95% of the N-padded MXU roofline (256 words = 4096
+#                        decoded genotype columns per k-step)
 
 
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _pmm_kernel_split(zq_ref, bhi_ref, blo_ref, out_ref):
-    """acc += decode(zq) @ b_hi + decode(zq) @ b_lo   (two bf16 MXU passes).
+def _pmm_kernel_split(zq_ref, bcat_ref, out_ref, *, n):
+    """acc += decode(zq) @ [b_hi || b_lo], halves summed after the dot.
 
-    The decode is the mask-only scaled variant (plane m carries g*4^m); the
-    RHS rows arrive pre-scaled by 4^-m so products are exactly g*B.
+    ONE bf16 MXU pass over the concatenated hi/lo RHS instead of two dots:
+    the MXU pads the N dimension to its 128-lane width, so for n <= 64 the
+    hi and lo halves ride the same pass for free (measured 1.55x over the
+    two-dot form at n=32 on v5e).  The decode is the mask-only scaled
+    variant (plane m carries g*4^m); the RHS rows arrive pre-scaled by 4^-m
+    so products are exactly g*B.
     """
     k = pl.program_id(1)
     d = decode_planar16_scaled(zq_ref[...], jnp.bfloat16)
-    prod = jnp.dot(d, bhi_ref[...], preferred_element_type=jnp.float32)
-    prod += jnp.dot(d, blo_ref[...], preferred_element_type=jnp.float32)
+    prod = jnp.dot(d, bcat_ref[...], preferred_element_type=jnp.float32)
+    prod = prod[:, :n] + prod[:, n:]
 
     @pl.when(k == 0)
     def _init():
@@ -162,16 +167,18 @@ def packed_matmul(
         bhi_f32 = jax.lax.reduce_precision(b2, exponent_bits=8, mantissa_bits=7)
         bhi = bhi_f32.astype(jnp.bfloat16)
         blo = (b2 - bhi_f32).astype(jnp.bfloat16)
+        bcat = jnp.concatenate([bhi, blo], axis=1)
+        bcat_spec = pl.BlockSpec((16 * tile_kw, 2 * n), lambda r, k: (k, 0))
         return pl.pallas_call(
-            _pmm_kernel_split,
+            functools.partial(_pmm_kernel_split, n=n),
             grid=grid,
-            in_specs=[zq_spec, b_spec, b_spec],
+            in_specs=[zq_spec, bcat_spec],
             out_specs=out_spec,
             out_shape=out_shape,
             compiler_params=params,
             cost_estimate=cost,
             interpret=interpret,
-        )(zq, bhi, blo)
+        )(zq, bcat)
     return pl.pallas_call(
         _pmm_kernel_f32,
         grid=grid,

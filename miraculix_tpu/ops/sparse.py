@@ -55,6 +55,7 @@ def sparse_times_geno(
     trans_sparse: str = "n",
     trans_geno: str = "n",
     index_base: int = 1,
+    precision: str = "f32",
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """C = op(S) @ op(Z):
@@ -68,6 +69,10 @@ def sparse_times_geno(
 
     Matches ``sparse_times_plink(transS, transC, ...)``
     (5codesAPI.c:135-157); no centering (the reference path has none).
+    ``precision`` defaults to "f32" (HIGHEST-precision matmul, ~1e-7
+    relative) because the reference's sparseTGeno kernel accumulates in
+    exact double (plinkUint.cc:352-479); "fast" (bf16-split) and "f64"
+    (chunked float64 outer accumulation) are also accepted.
     """
     if interpret is None:
         interpret = on_cpu()
@@ -88,6 +93,13 @@ def sparse_times_geno(
     # output axis and whose packed axis is `contract` is exactly the other
     # orientation — one packed matmul, then transpose.
     zq_other = g.zq_t if tg == "n" else g.zq_n
-    out = packed_matmul(zq_other, jnp.asarray(st, jnp.float32),
-                        interpret=interpret)
+    if precision == "f64":
+        from .dgemm import packed_matmul_f64
+
+        out = packed_matmul_f64(zq_other, jnp.asarray(st),
+                                interpret=interpret)
+    else:
+        out = packed_matmul(zq_other, jnp.asarray(st, jnp.float32),
+                            split=(precision == "fast"),
+                            interpret=interpret)
     return out[:out_cols].T  # [n_idx, out_cols]

@@ -22,6 +22,8 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test draws from a fresh, identical stream so
+    # test selection/order can never change another test's random data
     return np.random.default_rng(42)
