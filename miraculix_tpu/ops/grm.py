@@ -3,12 +3,12 @@
 TPU-native replacement for the reference's popcount SIMD kernels
 (src/miraculix/2bitIntern.h:31-160) and the 4-bit tensor-core CUTLASS path
 with its custom mma.sync PTX microkernel (src/cuda/snp_multiply_cuda.h:124-197,
-.cu:38-382).  Here: decode planar16 tiles in-register to bf16 and run
-bf16 x bf16 -> f32 MXU dots.  Every product term is an integer <= 4 and every
-partial sum is an integer, exactly representable in the f32 accumulator while
-|sum| < 2^24 — i.e. the crossproduct is EXACT for up to ~4.1M SNPs, matching
-the integer guarantees of the reference's int32 tensor-core path
-(docs/grm.md:12) with no extra instructions.
+.cu:38-382).  Here: decode planar16 tiles in-register to int8 and run
+int8 x int8 -> int32 MXU dots — the exact TPU analogue of the reference's
+u4xu4->s32 tensor-core path, at 2x the bf16 MXU rate (measured 518 vs 307
+Tops/s-equiv on v5e at 4096x131072).  Every product term is <= 4, so the
+int32 accumulator is EXACT while 4*snps < 2^31, i.e. up to ~536M SNPs
+(the reference's int32 range discussion, docs/grm.md:12).
 
 Finishing steps (all O(m^2), done in XLA):
 - GRM (VanRaden, via the Schlather decomposition docs/grm.md:5-10 and
@@ -31,21 +31,22 @@ from jax.experimental.pallas import tpu as pltpu
 from ..geno import GenoMatrix
 from .common import decode_planar16, on_cpu, pick_tile
 
-# tile_m=512 measured at 93% MXU utilization on TPU v5e (131072 snps x 4096
-# indiv panel); pick_tile degrades gracefully to 256 for small row counts.
+# swept on v5e at 4096 indiv x 131072 snps: 512x256 -> 518 Tops/s-equiv
+# (tile_m=1024 overflows the 16MB scoped-VMEM stack); pick_tile degrades
+# gracefully for small row counts.
 DEFAULT_TILE_M = 512
-DEFAULT_TILE_KW = 128
+DEFAULT_TILE_KW = 256
 
 
 def _crossprod_kernel(zi_ref, zj_ref, out_ref):
-    """acc[i, j] += decode(zq[i-tile]) @ decode(zq[j-tile])ᵀ."""
+    """acc[i, j] += decode(zq[i-tile]) @ decode(zq[j-tile])ᵀ  (int8 MXU)."""
     k = pl.program_id(2)
-    di = decode_planar16(zi_ref[...], jnp.bfloat16)
-    dj = decode_planar16(zj_ref[...], jnp.bfloat16)
+    di = decode_planar16(zi_ref[...], jnp.int8)
+    dj = decode_planar16(zj_ref[...], jnp.int8)
     prod = jax.lax.dot_general(
         di, dj,
         dimension_numbers=(((1,), (1,)), ((), ())),  # contract decoded cols
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.int32,
     )
 
     @pl.when(k == 0)
@@ -66,12 +67,12 @@ def _crossprod_tri_kernel(zi_ref, zj_ref, out_ref):
 
     @pl.when(j >= i)
     def _compute():
-        di = decode_planar16(zi_ref[...], jnp.bfloat16)
-        dj = decode_planar16(zj_ref[...], jnp.bfloat16)
+        di = decode_planar16(zi_ref[...], jnp.int8)
+        dj = decode_planar16(zj_ref[...], jnp.int8)
         prod = jax.lax.dot_general(
             di, dj,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32,
         )
 
         @pl.when(k == 0)
@@ -97,9 +98,9 @@ def packed_crossprod(
     interpret: bool = False,
     triangle: bool = True,
 ) -> jax.Array:
-    """Raw integer crossproduct decode(zq) @ decode(zq)ᵀ -> f32 [rows, rows].
+    """Raw integer crossproduct decode(zq) @ decode(zq)ᵀ -> int32 [rows, rows].
 
-    Exact integers while snps < 2^22 (see module docstring).
+    Exact while 4*snps < 2^31 (see module docstring).
     ``triangle=True`` computes only upper-triangle tiles (~2x less MXU work)
     and mirrors with one elementwise pass.
     """
@@ -123,7 +124,7 @@ def packed_crossprod(
             pl.BlockSpec((tile_m, tile_kw), lambda i, j, k: (j, k)),
         ],
         out_specs=pl.BlockSpec((tile_m, tile_m), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((rows, rows), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, rows), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

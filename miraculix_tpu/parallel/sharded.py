@@ -272,6 +272,7 @@ def sharded_grm(
         out_specs=P(ax, None) if scatter else P(None, None),
         check_vma=False,
     )(sg.zq_n)
+    m = m.astype(jnp.float32)  # raw crossproduct is exact int32; finish in f32
     # Schlather finish (docs/grm.md:5-10) in plain XLA; works identically on
     # the replicated and the row-sharded (scatter) layout because padded
     # rows/cols of the raw crossproduct are exactly zero.
