@@ -36,6 +36,9 @@ class GenoMatrix:
     - ``zq_t``: int32 [snps_pad, kw_indiv] — planar16 over the individual
       axis (the transposed twin).  Used for 't' products Z^T @ B and LD.
     - ``freq``: f32 [snps] allele frequencies (external or computed).
+    - ``pseudo_freq``: f32 [indiv] per-INDIVIDUAL frequencies (the
+      reference's getPseudoFreq, haplogeno.cc:1503-1510) — the ColMeans
+      centering vector and the vG normalization scale.
     - ``miss_rows_n/miss_cols_n``: optional int32 arrays of missing-entry
       coordinates in (indiv, snps) orientation, for centering corrections
       (reference Vector.matrix.D.cc:179-208).  None when ignore_missings.
@@ -46,13 +49,14 @@ class GenoMatrix:
     zq_n: jax.Array
     zq_t: jax.Array
     freq: jax.Array
+    pseudo_freq: Optional[jax.Array] = None
     miss_rows_n: Optional[jax.Array] = None
     miss_cols_n: Optional[jax.Array] = None
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
-        children = (self.zq_n, self.zq_t, self.freq, self.miss_rows_n,
-                    self.miss_cols_n)
+        children = (self.zq_n, self.zq_t, self.freq, self.pseudo_freq,
+                    self.miss_rows_n, self.miss_cols_n)
         aux = (self.snps, self.indiv)
         return children, aux
 
@@ -81,9 +85,56 @@ class GenoMatrix:
     @property
     def sigma2(self) -> jax.Array:
         """sigma^2 = 2 * sum_s p_s (1 - p_s), the VanRaden scale
-        (docs/grm.md:5-10)."""
+        (docs/grm.md:5-10; reference getSigmaSq, haplogeno.cc:1491)."""
         f = self.freq.astype(jnp.float32)
         return 2.0 * jnp.sum(f * (1.0 - f))
+
+    @property
+    def pseudo_sigma2(self) -> jax.Array:
+        """2 * sum_i pf_i (1 - pf_i) over per-individual frequencies
+        (reference getPseudoSigmaSq, haplogeno.cc:1534)."""
+        if self.pseudo_freq is None:
+            raise ValueError("GenoMatrix was built without pseudo_freq "
+                             "(rebuild with from_dense/from_plink/from_bed)")
+        pf = self.pseudo_freq.astype(jnp.float32)
+        return 2.0 * jnp.sum(pf * (1.0 - pf))
+
+    # -- frequency-cache derivatives (reference getFreq family,
+    #    haplogeno.cc:1461-1661; computed on device via one packed matmul) --
+    def snp_sums(self) -> jax.Array:
+        """Per-SNP allele sums (reference getSum)."""
+        from .ops.dgemm import dgemm
+
+        ones = jnp.ones((self.indiv, 1), jnp.float32)
+        return dgemm(self, ones, trans="t", center=False)[:, 0]
+
+    def indiv_sums(self) -> jax.Array:
+        """Per-individual allele sums (reference getPseudoSum)."""
+        from .ops.dgemm import dgemm
+
+        ones = jnp.ones((self.snps, 1), jnp.float32)
+        return dgemm(self, ones, trans="n", center=False)[:, 0]
+
+    def freq_sxi(self) -> jax.Array:
+        """freqSxI[i] = sum_s freq[s] * Z[i, s] (reference getFreqSxI:
+        one vectorGeno_raw pass, haplogeno.cc:1612)."""
+        from .ops.dgemm import dgemm
+
+        return dgemm(self, self.freq[:, None], trans="n", center=False)[:, 0]
+
+    def pseudo_freq_sxi(self) -> jax.Array:
+        """pseudoFreqSxI[s] = sum_i pf[i] * Z[i, s] (reference
+        getPseudoFreqSxI: one genoVector_raw pass, haplogeno.cc:1652)."""
+        from .ops.dgemm import dgemm
+
+        if self.pseudo_freq is None:
+            raise ValueError("pseudo_freq unavailable")
+        return dgemm(self, self.pseudo_freq[:, None], trans="t",
+                     center=False)[:, 0]
+
+    def total_sum(self) -> jax.Array:
+        """Sum of all genotype values (reference getTotalSum)."""
+        return jnp.sum(self.snp_sums())
 
     @property
     def nbytes(self) -> int:
@@ -116,6 +167,7 @@ def from_dense(
         miss_rows, miss_cols = jnp.asarray(mr), jnp.asarray(mc)
     if freq is None:
         freq = codec.allele_freq(geno, axis=0)
+    pseudo_freq = codec.allele_freq(geno, axis=1)
     zq_n = codec.pack_planar16(geno, row_mult=row_mult)
     gt = _native.transpose_u8(geno)  # blocked native transpose (cache-tiled)
     if gt is None:
@@ -128,6 +180,7 @@ def from_dense(
         zq_n=as_arr(zq_n),
         zq_t=as_arr(zq_t),
         freq=jnp.asarray(np.asarray(freq, dtype=np.float32)),
+        pseudo_freq=jnp.asarray(np.asarray(pseudo_freq, dtype=np.float32)),
         miss_rows_n=miss_rows,
         miss_cols_n=miss_cols,
     )
@@ -164,6 +217,8 @@ def save(path: str, g: GenoMatrix) -> None:
         zq_n=np.asarray(g.zq_n),
         zq_t=np.asarray(g.zq_t),
         freq=np.asarray(g.freq),
+        pseudo_freq=(np.asarray(g.pseudo_freq)
+                     if g.pseudo_freq is not None else np.zeros(0, np.float32)),
         miss_rows=(np.asarray(g.miss_rows_n)
                    if g.miss_rows_n is not None else np.zeros(0, np.int32)),
         miss_cols=(np.asarray(g.miss_cols_n)
@@ -175,12 +230,14 @@ def load(path: str) -> GenoMatrix:
     """Inverse of :func:`save`; buffers go straight to device."""
     z = np.load(path)
     has_miss = z["miss_rows"].size > 0
+    has_pf = "pseudo_freq" in z.files and z["pseudo_freq"].size > 0
     return GenoMatrix(
         snps=int(z["snps"]),
         indiv=int(z["indiv"]),
         zq_n=jnp.asarray(z["zq_n"]),
         zq_t=jnp.asarray(z["zq_t"]),
         freq=jnp.asarray(z["freq"]),
+        pseudo_freq=jnp.asarray(z["pseudo_freq"]) if has_pf else None,
         miss_rows_n=jnp.asarray(z["miss_rows"]) if has_miss else None,
         miss_cols_n=jnp.asarray(z["miss_cols"]) if has_miss else None,
     )

@@ -240,11 +240,33 @@ def packed_matmul_f64(
 # Public op
 # ---------------------------------------------------------------------------
 
+def _resolve_center(center) -> tuple:
+    """Normalize the ``center`` argument to (mode, user_vector).
+
+    Modes mirror the reference ``centering_type`` enum
+    (Automiraculix.h:121-124): NoCentering / RowMeans / ColMeans / User.
+    """
+    if center is True:
+        return "rowmeans", None
+    if center is False or center is None:
+        return "none", None
+    if isinstance(center, str):
+        mode = center.lower()
+        if mode in ("none", "nocentering"):
+            return "none", None
+        if mode in ("rowmeans", "row"):
+            return "rowmeans", None
+        if mode in ("colmeans", "col"):
+            return "colmeans", None
+        raise ValueError(f"unknown centering mode {center!r}")
+    return "user", jnp.asarray(center)  # per-SNP user centering vector
+
+
 def dgemm(
     g: GenoMatrix,
     b: jax.Array,
     trans: str = "n",
-    center: bool = True,
+    center=True,
     normalize: bool = False,
     precision: str = "fast",
     ignore_missings: bool = True,
@@ -252,10 +274,23 @@ def dgemm(
     tile_kw: int = DEFAULT_TILE_KW,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """The ``dgemm_compressed`` entry point (reference 5codesAPI.c:98-110).
+    """The ``dgemm_compressed`` entry point (reference 5codesAPI.c:98-110)
+    with the full centering/normalization semantics of the means wrapper
+    ``gV_vG_means_double`` (Vector.matrix.D.cc:42-229).
 
-    trans='n': C[indiv, n] = (Z - 2·1fᵀ) @ B with B [snps, n]
-    trans='t': C[snps, n]  = (Z - 2·1fᵀ)ᵀ @ B with B [indiv, n]
+    trans='n': C[indiv, n] = (Z - M) @ B with B [snps, n]
+    trans='t': C[snps, n]  = (Z - M)ᵀ @ B with B [indiv, n]
+
+    ``center`` selects the centering matrix M (reference centering_type):
+      - True / "rowmeans": M = 2·1·fᵀ (per-SNP allele means — the default)
+      - "colmeans":        M = 2·pf·1ᵀ (per-individual means, getPseudoFreq)
+      - an array u[snps]:  M = 1·uᵀ (User centering vector)
+      - False / "none":    M = 0
+
+    ``normalize`` divides the result by sigma (GlobalNormalizing,
+    Vector.matrix.D.cc:213-222): sqrt(2 Σ p(1-p)) over SNP frequencies for
+    trans='t' (the reference's gV orientation) and over per-individual
+    pseudo-frequencies for trans='n'.
     """
     trans = trans.lower()
     if trans not in ("n", "t"):
@@ -264,6 +299,7 @@ def dgemm(
         interpret = on_cpu()
     if b.ndim == 1:
         b = b[:, None]
+    mode, user_vec = _resolve_center(center)
 
     if trans == "n":
         zq, rows, cols = g.zq_n, g.indiv, g.snps
@@ -286,30 +322,46 @@ def dgemm(
         )
     c = c[:rows]
 
-    if center:
-        f = g.freq.astype(c.dtype)
+    if mode != "none":
         bc = b.astype(c.dtype)
-        if trans == "n":
-            c = c - 2.0 * (f @ bc)[None, :]
-        else:
-            c = c - 2.0 * f[:, None] * jnp.sum(bc, axis=0)[None, :]
+        if mode in ("rowmeans", "user"):
+            cvec = (2.0 * g.freq if mode == "rowmeans" else user_vec)
+            cvec = cvec.astype(c.dtype)  # per-SNP centers
+            if trans == "n":
+                c = c - (cvec @ bc)[None, :]
+            else:
+                c = c - cvec[:, None] * jnp.sum(bc, axis=0)[None, :]
+        else:  # colmeans: per-individual centers
+            if g.pseudo_freq is None:
+                raise ValueError("colmeans centering needs pseudo_freq")
+            pvec = (2.0 * g.pseudo_freq).astype(c.dtype)
+            if trans == "n":
+                c = c - pvec[: rows, None] * jnp.sum(bc, axis=0)[None, :]
+            else:
+                c = c - (pvec @ bc)[None, :]
         if not ignore_missings and g.miss_rows_n is not None:
-            c = _missing_correction(g, bc, c, trans)
+            c = _missing_correction(g, bc, c, trans, mode, user_vec)
     if normalize:
-        c = c / g.sigma2.astype(c.dtype)
+        s2 = g.sigma2 if trans == "t" else g.pseudo_sigma2
+        c = c / jnp.sqrt(s2).astype(c.dtype)
     return c
 
 
-def _missing_correction(g: GenoMatrix, b: jax.Array, c: jax.Array, trans: str):
+def _missing_correction(g: GenoMatrix, b: jax.Array, c: jax.Array,
+                        trans: str, mode: str = "rowmeans",
+                        user_vec=None):
     """Centering correction for missing genotypes: a missing entry entered
-    the packed product as genotype 0, hence contributed (0 - 2f_s)·B-row; the
-    reference semantics (Vector.matrix.D.cc:179-208) make it contribute 0.
-    Add back 2 f_s * B[row] at each missing coordinate (i, s)."""
+    the packed product as genotype 0, hence contributed (0 - center)·B-row;
+    the reference semantics (Vector.matrix.D.cc:179-208) make it contribute
+    0.  Add back the subtracted center at each missing coordinate (i, s)."""
     mi, ms = g.miss_rows_n, g.miss_cols_n  # (indiv-idx, snp-idx)
-    f = g.freq.astype(c.dtype)
+    if mode == "colmeans":
+        cent = (2.0 * g.pseudo_freq).astype(c.dtype)[mi]  # per-individual
+    elif mode == "user":
+        cent = user_vec.astype(c.dtype)[ms]
+    else:
+        cent = (2.0 * g.freq).astype(c.dtype)[ms]
     if trans == "n":  # C rows = individuals, B rows = snps
-        contrib = 2.0 * f[ms][:, None] * b[ms]
-        return c.at[mi].add(contrib)
+        return c.at[mi].add(cent[:, None] * b[ms])
     # 't': C rows = snps, B rows = individuals
-    contrib = 2.0 * f[ms][:, None] * b[mi]
-    return c.at[ms].add(contrib)
+    return c.at[ms].add(cent[:, None] * b[mi])

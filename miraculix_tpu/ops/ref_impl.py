@@ -23,20 +23,45 @@ def dgemm_oracle(
     center: bool = True,
     normalize: bool = False,
     respect_missings: bool = False,
+    pseudo_freq: np.ndarray = None,
 ) -> np.ndarray:
-    """C = (Z - 2·1fᵀ) @ B  /  its transpose; Z = geno [indiv, snps]."""
+    """C = (Z - M) @ B  /  its transpose; Z = geno [indiv, snps].
+
+    ``center``: True/"rowmeans" -> M = 2·1fᵀ; "colmeans" -> M = 2·pf·1ᵀ;
+    an array u -> M = 1uᵀ; False -> 0.  ``normalize`` divides by
+    sqrt(2Σp(1-p)) (SNP freqs for 't', per-individual pseudo-freqs for 'n')
+    — GlobalNormalizing, reference Vector.matrix.D.cc:213-222.
+    """
     z = _clean(geno)
     f = np.asarray(freq, dtype=np.float64)
-    if center:
+    if pseudo_freq is None:
+        pseudo_freq = allele_freq_oracle(geno, axis=1)
+    pf = np.asarray(pseudo_freq, dtype=np.float64)
+    if center is True or (isinstance(center, str) and center == "rowmeans"):
         zc = z - 2.0 * f[None, :]
-        if respect_missings:
-            zc = np.where(np.asarray(geno) == 3, 0.0, zc)
-    else:
+    elif isinstance(center, str) and center == "colmeans":
+        zc = z - 2.0 * pf[:, None]
+    elif center is False or center is None:
         zc = z
+    else:  # user vector
+        zc = z - np.asarray(center, np.float64)[None, :]
+    if respect_missings and (center is not False and center is not None):
+        zc = np.where(np.asarray(geno) == 3, 0.0, zc)
     c = zc @ b if trans.lower() == "n" else zc.T @ b
     if normalize:
-        c = c / (2.0 * np.sum(f * (1.0 - f)))
+        s2 = (2.0 * np.sum(f * (1.0 - f)) if trans.lower() == "t"
+              else 2.0 * np.sum(pf * (1.0 - pf)))
+        c = c / np.sqrt(s2)
     return c
+
+
+def allele_freq_oracle(geno: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Missing-aware allele frequency along ``axis``."""
+    g = np.asarray(geno)
+    miss = g == 3
+    vals = np.where(miss, 0, g).astype(np.float64)
+    called = np.maximum((~miss).sum(axis=axis), 1)
+    return vals.sum(axis=axis) / (2.0 * called)
 
 
 def crossprod_oracle(geno: np.ndarray, snpmajor_output: bool = False) -> np.ndarray:

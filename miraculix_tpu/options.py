@@ -37,8 +37,10 @@ class Options:
       applied (reference Vector.matrix.D.cc:179-208).
     - center: subtract 2f per SNP (``do_not_center`` inverted; RowMeans
       semantics, reference 5codesChar.cc:127-143).
-    - normalize: divide the centered product by sigma^2 = 2*sum p(1-p)
-      (``do_normalize``, reference Vector.matrix.D.cc post-scaling).
+    - normalize: divide the centered product by sigma = sqrt(2*sum p(1-p))
+      (``do_normalize`` -> GlobalNormalizing, reference
+      Vector.matrix.D.cc:213-222; SNP freqs for 't', per-individual
+      pseudo-frequencies for 'n').
     - use_internal_freq: compute allele frequencies from the data instead of
       requiring externally supplied ones (``use_miraculix_freq``).
     - variant: kernel tile selector; 0 = auto.  Kept for API parity with the

@@ -97,3 +97,56 @@ def test_dgemm_vector_rhs(rng):
     b = rng.standard_normal(50)
     c = np.asarray(mx.dgemm(gm, b))
     assert c.shape == (20, 1)
+
+
+@pytest.mark.parametrize("trans", ["n", "t"])
+@pytest.mark.parametrize("mode", ["colmeans", "user"])
+def test_dgemm_centering_modes(rng, trans, mode):
+    """ColMeans / User centering (reference centering_type,
+    Automiraculix.h:121-124, epilogue Vector.matrix.D.cc:145-175)."""
+    g = _panel(rng, 70, 400)
+    gm = mx.from_dense(g)
+    rows_b = 400 if trans == "n" else 70
+    b = rng.standard_normal((rows_b, 3))
+    center = mode if mode == "colmeans" else rng.uniform(0, 2, size=400)
+    c = np.asarray(mx.dgemm(gm, b, trans=trans, center=center))
+    want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64),
+                                 trans=trans, center=center)
+    scale = max(1.0, np.abs(want).max())
+    assert np.abs(c - want).max() / scale < 1e-4
+
+
+@pytest.mark.parametrize("trans", ["n", "t"])
+@pytest.mark.parametrize("mode", ["rowmeans", "colmeans"])
+def test_dgemm_missing_corrections_modes(rng, trans, mode):
+    """Missing-value centering corrections per mode
+    (Vector.matrix.D.cc:179-208)."""
+    g = _panel(rng, 50, 300, missing_rate=0.05)
+    gm = mx.from_dense(g, keep_missing_info=True)
+    rows_b = 300 if trans == "n" else 50
+    b = rng.standard_normal((rows_b, 2))
+    c = np.asarray(mx.dgemm(gm, b, trans=trans, center=mode,
+                            ignore_missings=False))
+    want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64),
+                                 trans=trans, center=mode,
+                                 respect_missings=True)
+    scale = max(1.0, np.abs(want).max())
+    assert np.abs(c - want).max() / scale < 1e-4
+
+
+def test_freq_cache_family(rng):
+    """getFreq-family derivatives (reference haplogeno.cc:1461-1661)."""
+    g = _panel(rng, 60, 200)
+    gm = mx.from_dense(g)
+    gd = g.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(gm.snp_sums()), gd.sum(0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gm.indiv_sums()), gd.sum(1), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gm.freq_sxi()),
+                               gd @ np.asarray(gm.freq, np.float64),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gm.pseudo_freq_sxi()),
+                               gd.T @ np.asarray(gm.pseudo_freq, np.float64),
+                               rtol=1e-5, atol=1e-3)
+    assert abs(float(gm.total_sum()) - gd.sum()) < 1e-2
+    pf = ref_impl.allele_freq_oracle(g, axis=1)
+    np.testing.assert_allclose(np.asarray(gm.pseudo_freq), pf, atol=1e-6)
