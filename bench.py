@@ -29,28 +29,31 @@ def main() -> None:
     import jax.numpy as jnp
 
     from miraculix_tpu.io import bed, codec
-    from miraculix_tpu.ops.dgemm import packed_matmul
+    from miraculix_tpu.ops.dgemm import packed_matmul_tall
 
     g = bed.simulate_genotypes(INDIV, SNPS, seed=0)
-    zq = jnp.asarray(codec.pack_planar16(g, row_mult=256))
+    # ncol=32 < 64 -> the tall transposed schedule is the production path
+    # dgemm() selects; it contracts over the rows of the transposed packing.
+    gt = np.ascontiguousarray(np.where(g == 3, 0, g).T)
+    zq_t = jnp.asarray(codec.pack_planar16(gt, row_mult=256))
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal((SNPS, NCOL)), jnp.float32)
     fvec = jnp.asarray(codec.allele_freq(g).astype(np.float32))
 
-    def step(zq, b, f):
-        c = packed_matmul(zq, b)
+    def step(zq_t, b, f):
+        c = packed_matmul_tall(zq_t, b)
         return c - 2.0 * (f.astype(c.dtype) @ b.astype(c.dtype))[None, :]
 
     def make(iters):
         @jax.jit
-        def many(zq, b, f):
+        def many(zq_t, b, f):
             def body(bcur, _):
-                out = step(zq, bcur, f)
+                out = step(zq_t, bcur, f)
                 # scalar feed-forward: serializes iterations, costs nothing
                 return bcur * (1 + out[0, 0] * 1e-30), None
             bfin, _ = jax.lax.scan(body, b, None, length=iters)
             return jnp.float32(bfin[0, 0])
-        return functools.partial(many, zq, b, fvec)
+        return functools.partial(many, zq_t, b, fvec)
 
     def timed(fn):
         float(fn())  # warm / compile

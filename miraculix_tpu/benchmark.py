@@ -1,0 +1,276 @@
+"""Benchmark suite: panels x ops, comparator baselines, roofline reporting.
+
+TPU rebuild of the reference's benchmark harnesses
+(utils/benchmark/benchmark_suite.jl:39-273 — GRM/LD suites vs PLINK 1.9,
+GCTA, cuBLAS uint8; utils/benchmark/benchmark.f90:150-296 — dgemm sweeps vs
+MKL).  External binaries (PLINK/GCTA) are not available here; the comparator
+is the dense-XLA path (decode the panel to f32 and run a plain jnp matmul) —
+the exact role the cuBLAS-uint8 comparator plays in the reference
+(utils/benchmark/cublas_uint8.cu).
+
+Timing follows the tunnel-safe protocol (.claude/skills/verify/SKILL.md):
+N iterations inside one jit via lax.scan with a real data dependence,
+host-transfer sync, iters=1 vs iters=N+1 differencing.
+
+Run:  python -m miraculix_tpu.benchmark [--suite dgemm|grm|scaling|all]
+Emits one JSON object per config on stdout.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+# Panel definitions scaled from the reference's simulated panels
+# (utils/genotype_simulation_plink/Makefile:1-9), sized to single-chip HBM.
+PANELS: Dict[str, Dict[str, int]] = {
+    "xsmall": dict(snps=16384, indiv=2048),
+    "small": dict(snps=65536, indiv=4096),
+    "medium": dict(snps=262144, indiv=4096),
+    "many_snps": dict(snps=1048576, indiv=2048),
+    "many_indiv": dict(snps=65536, indiv=16384),
+}
+
+# v5e single-chip speed-of-light numbers for roofline reporting.
+PEAK_BF16_FLOPS = 197e12
+PEAK_INT8_OPS = 394e12
+PEAK_HBM_BYTES = 819e9
+
+
+def _timed_scan_zq(fn: Callable, zq, iters: int) -> float:
+    """Device time per iteration of fn(zq) with the packed matrix as the
+    scan carry (one-element in-place XOR = real data dependence that XLA
+    cannot hoist, ~O(1) cost)."""
+    import jax
+    import jax.numpy as jnp
+
+    def mk(nit):
+        @jax.jit
+        def many(zq):
+            def body(z, _):
+                out = fn(z)
+                s = (out[0, 0].astype(jnp.int32) >> 31).astype(jnp.uint32)
+                return z.at[0, 0].set(z[0, 0] ^ s), None
+            zf, _ = jax.lax.scan(body, zq, None, length=nit)
+            return jnp.float32(zf[0, 0] & jnp.uint32(1))
+        return many
+
+    f1, fn_n = mk(1), mk(iters + 1)
+    float(f1(zq))
+    float(fn_n(zq))
+
+    def t(f):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            float(f(zq))
+            best = min(best, time.time() - t0)
+        return best
+
+    return (t(fn_n) - t(f1)) / iters
+
+
+def _timed_scan_b(fn: Callable, zq, b, iters: int) -> float:
+    """Like _timed_scan_zq but with the RHS as carry (dgemm-style)."""
+    import jax
+    import jax.numpy as jnp
+
+    def mk(nit):
+        @jax.jit
+        def many(zq, b):
+            def body(bc, _):
+                out = fn(zq, bc)
+                return bc * (1 + out[0, 0] * 1e-30), None
+            bf, _ = jax.lax.scan(body, b, None, length=nit)
+            return jnp.float32(bf[0, 0])
+        return many
+
+    f1, fn_n = mk(1), mk(iters + 1)
+    float(f1(zq, b))
+    float(fn_n(zq, b))
+
+    def t(f):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            float(f(zq, b))
+            best = min(best, time.time() - t0)
+        return best
+
+    return (t(fn_n) - t(f1)) / iters
+
+
+def bench_dgemm(panel: str, ncol: int = 32, iters: int = 16,
+                comparator: bool = False) -> dict:
+    """Centered dgemm_compressed 'n' on one chip, with roofline ratios."""
+    import jax.numpy as jnp
+
+    from .io import bed, codec
+    from .ops.dgemm import packed_matmul
+
+    p = PANELS[panel]
+    snps, indiv = p["snps"], p["indiv"]
+    g = bed.simulate_genotypes(indiv, snps, seed=0)
+    zq = jnp.asarray(codec.pack_planar16(g, row_mult=256))
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((snps, ncol)), jnp.float32)
+    f = jnp.asarray(codec.allele_freq(g).astype(np.float32))
+
+    def step(zq, bc):
+        c = packed_matmul(zq, bc)
+        return c - 2.0 * (f.astype(c.dtype) @ bc.astype(c.dtype))[None, :]
+
+    per = _timed_scan_b(step, zq, b, iters)
+    geno_ops = snps * indiv * ncol / per
+    # MXU work: 2 flops x 2 (hi/lo split) per genotype-column op, N padded
+    # to the 128-lane width when 2*ncol < 128.
+    n_eff = max(2 * ncol, 128)
+    mxu_flops = 2.0 * indiv * snps * n_eff / per
+    hbm_bytes = (zq.nbytes + b.nbytes * 4 + indiv * ncol * 4) / per
+    out = {
+        "suite": "dgemm",
+        "panel": panel,
+        "config": f"{snps}x{indiv} ncol={ncol} centered 'n'",
+        "seconds_per_call": round(per, 6),
+        "geno_col_ops_per_s": geno_ops,
+        "mxu_utilization": round(mxu_flops / PEAK_BF16_FLOPS, 3),
+        "hbm_utilization": round(hbm_bytes / PEAK_HBM_BYTES, 3),
+    }
+    if comparator:
+        dense = jnp.asarray(np.where(g == 3, 0, g), jnp.float32)
+
+        def dense_step(d, bc):
+            return d @ bc
+
+        per_dense = _timed_scan_b(dense_step, dense, b, max(2, iters // 4))
+        out["comparator_dense_xla_s"] = round(per_dense, 6)
+        out["speedup_vs_dense"] = round(per_dense / per, 2)
+    return out
+
+
+def bench_grm(panel: str, iters: int = 8, comparator: bool = False) -> dict:
+    """Raw integer crossproduct (GRM direction) throughput."""
+    import jax.numpy as jnp
+
+    from .io import bed, codec
+    from .ops.grm import packed_crossprod
+
+    p = PANELS[panel]
+    snps, indiv = p["snps"], p["indiv"]
+    g = bed.simulate_genotypes(indiv, snps, seed=0)
+    zq = jnp.asarray(codec.pack_planar16(g, row_mult=512))
+
+    per = _timed_scan_zq(lambda z: packed_crossprod(z), zq, iters)
+    # device work is the upper triangle; report both conventions
+    full_ops = 2.0 * indiv * indiv * snps
+    out = {
+        "suite": "grm",
+        "panel": panel,
+        "config": f"{snps}x{indiv} ZZ^T int8",
+        "seconds_per_call": round(per, 6),
+        "snp_indiv2_ops_per_s": full_ops / per,
+        "mxu_utilization_triangle": round(
+            (full_ops / 2) / per / PEAK_INT8_OPS, 3),
+        "snps_per_s": round(snps / per, 1),
+    }
+    if comparator:
+        dense = jnp.asarray(np.where(g == 3, 0, g), jnp.float32)
+
+        def dense_step(d):
+            return d @ d.T
+
+        import jax
+
+        @jax.jit
+        def many(d):
+            def body(c, _):
+                m = dense_step(d)
+                return c + m[0, 0] * 1e-30, None
+            cf, _ = jax.lax.scan(body, jnp.float32(0), None, length=2)
+            return cf
+
+        float(many(dense))
+        t0 = time.time()
+        float(many(dense))
+        out["comparator_dense_xla_s"] = round((time.time() - t0) / 2, 6)
+    return out
+
+
+def bench_scaling(n_devices: Optional[int] = None, snps: int = 131072,
+                  indiv: int = 1024, ncol: int = 8) -> dict:
+    """SNP-sharded dgemm scaling efficiency across the available mesh
+    (BASELINE.md target: >= 85% at 2 hosts).  On a 1-chip axon session this
+    measures the virtual-device path only when run with JAX_PLATFORMS=cpu +
+    xla_force_host_platform_device_count; on a pod slice it measures real
+    ICI scaling."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import parallel
+    from .io import bed
+
+    devs = jax.devices()
+    d = n_devices or len(devs)
+    g = bed.simulate_genotypes(indiv, snps, seed=0)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((snps, ncol)), jnp.float32)
+
+    results = {}
+    for nd in sorted({1, d}):
+        mesh = parallel.make_mesh(nd)
+        sg = parallel.shard_genotypes(g, mesh)
+        b_pad = b
+
+        def step():
+            return parallel.sharded_dgemm(sg, b_pad, trans="n")
+
+        out = step()
+        np.asarray(out)  # compile + run
+        t0 = time.time()
+        reps = 5
+        for _ in range(reps):
+            out = step()
+        np.asarray(out)
+        results[nd] = (time.time() - t0) / reps
+    eff = None
+    if d > 1:
+        eff = results[1] / (results[d] * d)
+    return {
+        "suite": "scaling",
+        "devices": d,
+        "config": f"{snps}x{indiv} ncol={ncol} sharded 'n'",
+        "t_1dev_s": round(results[1], 6),
+        f"t_{d}dev_s": round(results[d], 6),
+        "scaling_efficiency": round(eff, 3) if eff is not None else None,
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="miraculix_tpu.benchmark")
+    ap.add_argument("--suite", default="all",
+                    choices=["dgemm", "grm", "scaling", "all"])
+    ap.add_argument("--panels", nargs="*", default=["small"])
+    ap.add_argument("--ncol", type=int, default=32)
+    ap.add_argument("--comparator", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.suite in ("dgemm", "all"):
+        for p in args.panels:
+            print(json.dumps(bench_dgemm(p, ncol=args.ncol,
+                                         comparator=args.comparator)))
+    if args.suite in ("grm", "all"):
+        for p in args.panels:
+            print(json.dumps(bench_grm(p, comparator=args.comparator)))
+    if args.suite in ("scaling", "all"):
+        print(json.dumps(bench_scaling()))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

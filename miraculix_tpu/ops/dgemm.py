@@ -75,6 +75,29 @@ def _pmm_kernel_split(zq_ref, bcat_ref, out_ref, *, n):
         out_ref[...] = out_ref[...] + prod
 
 
+def _pmm_tall_kernel(bt_ref, zq_ref, out_ref):
+    """out[2n, 16*tile_kw] += Bᵀ-tile @ decode(zq-tile).
+
+    The "tall" schedule for skinny RHS (n < 64): the decoded genotype tile
+    is the MXU's stationary operand with the BIG axis on the 128 lanes, and
+    the 2n hi/lo RHS rows stream through — the same trick XLA's dense path
+    uses for skinny matmuls.  At ncol=32 this measures 44 Tops/s (~90% of
+    bf16 MXU peak) vs 19 Tops/s for the wide schedule on v5e, because the
+    wide schedule pads N=2n up to the 128-lane width.
+    """
+    k = pl.program_id(1)
+    d = decode_planar16_scaled(zq_ref[...], jnp.bfloat16)
+    prod = jnp.dot(bt_ref[...], d, preferred_element_type=jnp.float32)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[...] = prod
+
+    @pl.when(k != 0)
+    def _acc():
+        out_ref[...] = out_ref[...] + prod
+
+
 def _pmm_kernel_f32(zq_ref, b_ref, out_ref):
     """acc += decode(zq) @ b in f32 at HIGHEST matmul precision."""
     k = pl.program_id(1)
@@ -189,6 +212,84 @@ def packed_matmul(
         cost_estimate=cost,
         interpret=interpret,
     )(zq, b2)
+
+
+TALL_TILE_S = 512    # swept on v5e at 65536x4096 ncol=32: 512x128 -> 44 Tops/s
+TALL_TILE_KW = 128
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_s", "tile_kw", "interpret")
+)
+def packed_matmul_tall(
+    zq_other: jax.Array,
+    b: jax.Array,
+    *,
+    tile_s: int = TALL_TILE_S,
+    tile_kw: int = TALL_TILE_KW,
+    interpret: bool = False,
+) -> jax.Array:
+    """decode(zq_other)ᵀ @ B computed TRANSPOSED: Cᵀ = Bᵀ @ decode(zq_other).
+
+    ``zq_other`` is the packing of the OTHER orientation: its packed rows
+    are the contraction axis and its decoded columns are the output rows.
+    For C = Z @ B pass the transposed twin (zq_t); for C = Zᵀ @ B pass zq_n.
+    ``b``: [contract, n] with contract <= packed rows.  Returns f32
+    [16*kw, n] (output rows = decoded columns, zero padding past the real
+    count).  Preferred over :func:`packed_matmul` when n < 64 — see
+    ``_pmm_tall_kernel``.
+    """
+    spad, kwi = zq_other.shape
+    contract, n = b.shape
+    tile_s = pick_tile(spad, tile_s, 16)
+    tile_kw = pick_tile(kwi, tile_kw, 128)
+    ni = kwi // tile_kw
+
+    bpad = jnp.zeros((spad, n), jnp.float32).at[:contract].set(
+        b.astype(jnp.float32))
+    bt = bpad.T
+    bhi_f32 = jax.lax.reduce_precision(bt, exponent_bits=8, mantissa_bits=7)
+    bhi = bhi_f32.astype(jnp.bfloat16)
+    blo = (bt - bhi_f32).astype(jnp.bfloat16)
+    bcat = jnp.concatenate([bhi, blo], axis=0)        # [2n, spad]
+    rows2 = 2 * n
+    rows_pad = max(16, ((rows2 + 15) // 16) * 16)     # bf16 sublane granule
+    if rows_pad != rows2:
+        bcat = jnp.zeros((rows_pad, spad), jnp.bfloat16).at[:rows2].set(bcat)
+
+    grid = (ni, spad // tile_s)
+    cost = pl.CostEstimate(
+        flops=2 * rows_pad * spad * 16 * kwi,
+        bytes_accessed=zq_other.size * 4 * ni + bcat.size * 2
+        + rows_pad * 16 * kwi * 4,
+        transcendentals=0,
+    )
+    out = pl.pallas_call(
+        _pmm_tall_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows_pad, tile_s), lambda i, k: (0, k)),
+            pl.BlockSpec((tile_s, tile_kw), lambda i, k: (k, i)),
+        ],
+        out_specs=pl.BlockSpec((rows_pad, 16 * tile_kw), lambda i, k: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, 16 * kwi), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(bcat, zq_other)
+    ct = out[:n] + out[n:rows2]   # merge hi/lo halves -> [n, 16*kwi]
+    # undo the mask-only decode's 4^m plane factor and restore natural
+    # column order: block i holds (plane m, word t) at i*16*tkw + m*tkw + t;
+    # the natural position is m*kwi + i*tkw + t.
+    scales = jnp.asarray(PLANE_SCALES, ct.dtype).reshape(1, 1, 16, 1)
+    ct = (
+        (ct.reshape(n, ni, 16, tile_kw) * scales)
+        .transpose(0, 2, 1, 3)
+        .reshape(n, 16 * kwi)
+    )
+    return ct.T
 
 
 def packed_matmul_f64(
@@ -310,11 +411,15 @@ def dgemm(
             f"B has {b.shape[0]} rows, expected {cols} for trans='{trans}'"
         )
 
+    zq_other = g.zq_t if trans == "n" else g.zq_n
     if precision == "f64":
         c = packed_matmul_f64(
             zq, b, tile_r=tile_r, tile_kw=tile_kw, split=True,
             interpret=interpret,
         )
+    elif precision == "fast" and b.shape[1] < 64 and b.shape[0] <= zq_other.shape[0]:
+        # skinny RHS: tall transposed schedule (see _pmm_tall_kernel)
+        c = packed_matmul_tall(zq_other, b, interpret=interpret)
     else:
         c = packed_matmul(
             zq, b, tile_r=tile_r, tile_kw=tile_kw,

@@ -2,7 +2,8 @@
 relationship-matrix solve, sparse triangular solves."""
 from .cg import CGResult, cg, grm_cg_solve, grm_matvec
 from .dense import (DenseSolveResult, RelMatResult, chol2inv, dense_solve,
-                    solve_relmat, sqrt_posdef, x_cinv_y_logdet)
+                    solve_posdef, solve_relmat, sqrt_posdef, sqrt_rhs,
+                    x_cinv_y_logdet)
 from .sparse import SparseTriangularSolver
 
 __all__ = [
@@ -15,7 +16,9 @@ __all__ = [
     "dense_solve",
     "grm_cg_solve",
     "grm_matvec",
+    "solve_posdef",
     "solve_relmat",
     "sqrt_posdef",
+    "sqrt_rhs",
     "x_cinv_y_logdet",
 ]

@@ -101,7 +101,67 @@ def solve_relmat(
 
 def sqrt_posdef(a: jax.Array) -> jax.Array:
     """Symmetric square root of an SPD matrix via eigendecomposition
-    (reference RFU ``SqrtPosDefFree``/``sqrtRHS``, solve_rfu.cc)."""
+    (reference RFU ``SqrtPosDefFree``, solve_rfu.cc)."""
     w, q = jnp.linalg.eigh(a)
     w = jnp.maximum(w, 0.0)
     return (q * jnp.sqrt(w)[None, :]) @ q.T
+
+
+def sqrt_rhs(a: jax.Array, b: jax.Array) -> jax.Array:
+    """A^(1/2) @ B without materializing the square root twice
+    (reference RFU ``sqrtRHS``, solve_rfu.cc)."""
+    w, q = jnp.linalg.eigh(a)
+    w = jnp.maximum(w, 0.0)
+    return q @ (jnp.sqrt(w)[:, None] * (q.T @ b))
+
+
+def solve_posdef(
+    a: jax.Array,
+    b: jax.Array,
+    method: str = "auto",
+    calc_logdet: bool = False,
+    jitter: float = 0.0,
+    eigen_floor: float = 0.0,
+) -> DenseSolveResult:
+    """General positive-(semi)definite solve with graceful degradation —
+    the role of the reference RFU's ``SolvePosDef``/``doPosDefIntern``
+    (solve_rfu.cc:102-2223): Cholesky first, then pivoted/regularized
+    escapes for near-singular systems.
+
+    methods:
+      - "cholesky": straight Cholesky (fails with NaNs if not SPD)
+      - "eigh": eigendecomposition pseudo-solve, eigenvalues clamped at
+        ``eigen_floor`` (the pivoted-Cholesky/rank-deficient path)
+      - "lu": plain LU (the reference's non-PD fallback)
+      - "auto" (not jittable): try Cholesky, fall back to eigh when the
+        factorization produces non-finite values
+    """
+    if jitter:
+        a = a + jitter * jnp.eye(a.shape[0], dtype=a.dtype)
+    squeeze = b.ndim == 1
+    bb = b[:, None] if squeeze else b
+
+    def _eigh():
+        w, q = jnp.linalg.eigh(a)
+        w_inv = jnp.where(w > eigen_floor, 1.0 / jnp.maximum(w, 1e-300), 0.0)
+        x = q @ (w_inv[:, None] * (q.T @ bb.astype(a.dtype)))
+        ld = jnp.sum(jnp.where(w > eigen_floor, jnp.log(jnp.maximum(w, 1e-300)),
+                               0.0)) if calc_logdet else None
+        return x, ld
+
+    if method == "eigh":
+        x, ld = _eigh()
+    elif method == "lu":
+        x = jnp.linalg.solve(a, bb.astype(a.dtype))
+        ld = (jnp.linalg.slogdet(a)[1] if calc_logdet else None)
+    elif method == "cholesky":
+        res = dense_solve(a, bb, calc_logdet=calc_logdet)
+        x, ld = res.x, res.logdet
+    elif method == "auto":
+        res = dense_solve(a, bb, calc_logdet=calc_logdet)
+        x, ld = res.x, res.logdet
+        if not bool(jnp.isfinite(x).all()):  # host check: not jittable
+            x, ld = _eigh()
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return DenseSolveResult(x[:, 0] if squeeze else x, ld)

@@ -92,3 +92,29 @@ def device_trace(dirname: str = "/tmp/miraculix_tpu_trace") -> Iterator[None]:
     finally:
         jax.profiler.stop_trace()
         debug_info(f"profile written to {dirname}", level=0)
+
+
+def check_device_memory(required_bytes: int, safety: float = 1.1) -> bool:
+    """Pre-flight free-memory guard (reference ``checkDevMemory``,
+    src/cuda/cuda_utils.cu:163-186): warn when a planned allocation exceeds
+    what the device reports as available.  Returns True when the allocation
+    looks safe (or memory stats are unavailable)."""
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+    except Exception:
+        return True
+    limit = stats.get("bytes_limit")
+    in_use = stats.get("bytes_in_use", 0)
+    if not limit:
+        return True
+    free = limit - in_use
+    if required_bytes * safety > free:
+        debug_info(
+            f"requested {required_bytes / 1e9:.2f} GB exceeds free device "
+            f"memory {free / 1e9:.2f} GB (limit {limit / 1e9:.2f} GB)",
+            level=0,
+        )
+        return False
+    return True

@@ -165,3 +165,46 @@ def test_grm_matvec_matches_dense(rng):
     got = np.asarray(solve.grm_matvec(gm, v))
     want = zc @ (zc.T @ v)
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+
+
+def test_solve_posdef_fallbacks(rng):
+    """SolvePosDef-style degradation (reference solve_rfu.cc:102-2223):
+    Cholesky on SPD, eigh pseudo-solve on singular, LU on general."""
+    from miraculix_tpu.solve.dense import solve_posdef
+    import jax.numpy as jnp
+
+    n = 40
+    m = rng.standard_normal((n, n))
+    a = m @ m.T + n * np.eye(n)
+    b = rng.standard_normal(n)
+    x = np.asarray(solve_posdef(jnp.asarray(a), jnp.asarray(b)).x)
+    np.testing.assert_allclose(a @ x, b, atol=1e-8)
+
+    # singular PSD: rank n-5
+    u = rng.standard_normal((n, n - 5))
+    a_sing = u @ u.T
+    res = solve_posdef(jnp.asarray(a_sing), jnp.asarray(b), method="auto",
+                       eigen_floor=1e-8)
+    x = np.asarray(res.x)
+    # pseudo-solve: A x should reproduce the projection of b onto range(A)
+    w, q = np.linalg.eigh(a_sing)
+    proj = q[:, w > 1e-8] @ (q[:, w > 1e-8].T @ b)
+    np.testing.assert_allclose(a_sing @ x, proj, atol=1e-6)
+
+    # LU path on a general (non-symmetric) matrix
+    g = rng.standard_normal((n, n)) + n * np.eye(n)
+    res = solve_posdef(jnp.asarray(g), jnp.asarray(b), method="lu",
+                       calc_logdet=True)
+    np.testing.assert_allclose(g @ np.asarray(res.x), b, atol=1e-8)
+    assert np.isfinite(float(res.logdet))
+
+
+def test_sqrt_rhs(rng):
+    from miraculix_tpu.solve.dense import sqrt_posdef, sqrt_rhs
+    import jax.numpy as jnp
+
+    m = rng.standard_normal((20, 20))
+    a = jnp.asarray(m @ m.T + 20 * np.eye(20))
+    b = jnp.asarray(rng.standard_normal((20, 3)))
+    np.testing.assert_allclose(np.asarray(sqrt_rhs(a, b)),
+                               np.asarray(sqrt_posdef(a) @ b), atol=1e-6)
