@@ -140,6 +140,43 @@ def packed_crossprod(
     return w + w.T - w * diag_mask
 
 
+@functools.partial(jax.jit, static_argnames=("tile_m", "tile_kw", "interpret"))
+def packed_crossprod_rect(
+    zq_a: jax.Array,
+    zq_b: jax.Array,
+    *,
+    tile_m: int = DEFAULT_TILE_M,
+    tile_kw: int = DEFAULT_TILE_KW,
+    interpret: bool = False,
+) -> jax.Array:
+    """Rectangular integer crossproduct decode(zq_a) @ decode(zq_b)ᵀ ->
+    int32 [rows_a, rows_b].  The off-diagonal GRM tile primitive for 2D
+    distributed layouts (the reference's individual-pair tile loop,
+    snp_multiply_cuda.cu:194-340, with tiles living on different chips)."""
+    rows_a, kw = zq_a.shape
+    rows_b, kw_b = zq_b.shape
+    if kw != kw_b:
+        raise ValueError("packed K widths differ")
+    tile_a = pick_tile(rows_a, tile_m, 8)
+    tile_b = pick_tile(rows_b, tile_m, 8)
+    grid = (rows_a // tile_a, rows_b // tile_b, kw // pick_tile(kw, tile_kw, 128))
+    tkw = pick_tile(kw, tile_kw, 128)
+    return pl.pallas_call(
+        _crossprod_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_a, tkw), lambda i, j, k: (i, k)),
+            pl.BlockSpec((tile_b, tkw), lambda i, j, k: (j, k)),
+        ],
+        out_specs=pl.BlockSpec((tile_a, tile_b), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((rows_a, rows_b), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(zq_a, zq_b)
+
+
 def snp_crossprod(
     g: GenoMatrix,
     snpmajor_output: bool = False,

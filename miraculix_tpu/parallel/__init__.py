@@ -1,16 +1,29 @@
-"""Multi-chip / multi-host layer: SNP-sharded genotype linear algebra over
-a jax device mesh (new capability — the reference is single-node)."""
+"""Multi-chip / multi-host layer: genotype linear algebra over a jax device
+mesh (new capability — the reference is single-node).  1D = SNP-axis
+sharding; 2D = individuals x SNPs block sharding for panels where neither
+axis fits one chip."""
 from .sharded import (ShardedGeno, make_mesh, shard_genotypes,
                       shard_genotypes_from_bed, sharded_cg_solve,
                       sharded_dgemm, sharded_grm, sharded_grm_matvec)
+from .sharded2d import (ShardedGeno2D, make_mesh_2d, pad_indiv_vec,
+                        pad_snp_vec, shard_genotypes_2d, sharded_cg_solve_2d,
+                        sharded_dgemm_2d, sharded_grm_2d)
 
 __all__ = [
     "ShardedGeno",
+    "ShardedGeno2D",
     "make_mesh",
+    "make_mesh_2d",
+    "pad_indiv_vec",
+    "pad_snp_vec",
     "shard_genotypes",
+    "shard_genotypes_2d",
     "shard_genotypes_from_bed",
     "sharded_cg_solve",
+    "sharded_cg_solve_2d",
     "sharded_dgemm",
+    "sharded_dgemm_2d",
     "sharded_grm",
+    "sharded_grm_2d",
     "sharded_grm_matvec",
 ]

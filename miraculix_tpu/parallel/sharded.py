@@ -39,9 +39,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..io import codec
 from ..ops.common import on_cpu
-from ..ops.dgemm import packed_matmul
+from ..ops.dgemm import packed_matmul, packed_matmul_tall
 from ..ops.grm import packed_crossprod
 from ..solve.cg import CGResult
+
+
+def _local_mm(zq_direct, zq_other, b, interpret, split=True):
+    """Local-shard packed matmul choosing the tall transposed schedule for
+    skinny RHS (n < 64; see ops.dgemm._pmm_tall_kernel) — CG solves carry
+    one-to-few RHS columns, exactly the tall case."""
+    if split and b.shape[1] < 64 and b.shape[0] <= zq_other.shape[0]:
+        return packed_matmul_tall(zq_other, b, interpret=interpret)
+    return packed_matmul(zq_direct, b, split=split, interpret=interpret)
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "k") -> Mesh:
@@ -214,22 +223,22 @@ def sharded_dgemm(
     if trans == "n":
         b_pad = _pad_rows(b, sg.zq_t.shape[0])
 
-        def body(zq_local, b_local, f_local):
-            c = packed_matmul(zq_local, b_local, split=split,
-                              interpret=interpret)
+        def body(zq_n_local, zq_t_local, b_local, f_local):
+            c = _local_mm(zq_n_local, zq_t_local, b_local, interpret,
+                          split=split)
             if center:
                 c = c - 2.0 * (f_local.astype(c.dtype) @ b_local.astype(c.dtype))[None, :]
             return jax.lax.psum(c, ax)
 
         out = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(None, ax), P(ax, None), P(ax)),
+            in_specs=(P(None, ax), P(ax, None), P(ax, None), P(ax)),
             out_specs=P(None, None), check_vma=False,
-        )(sg.zq_n, b_pad, sg.freq)
+        )(sg.zq_n, sg.zq_t, b_pad, sg.freq)
         return out[: sg.indiv]
 
-    def body_t(zq_local, b_rep, f_local):
-        c = packed_matmul(zq_local, b_rep, split=split, interpret=interpret)
+    def body_t(zq_t_local, zq_n_local, b_rep, f_local):
+        c = _local_mm(zq_t_local, zq_n_local, b_rep, interpret, split=split)
         if center:
             colsum = jnp.sum(b_rep.astype(c.dtype), axis=0)
             c = c - 2.0 * f_local.astype(c.dtype)[:, None] * colsum[None, :]
@@ -237,9 +246,9 @@ def sharded_dgemm(
 
     out = jax.shard_map(
         body_t, mesh=mesh,
-        in_specs=(P(ax, None), P(None, None), P(ax)),
+        in_specs=(P(ax, None), P(None, ax), P(None, None), P(ax)),
         out_specs=P(ax, None), check_vma=False,
-    )(sg.zq_t, b, sg.freq)
+    )(sg.zq_t, sg.zq_n, b, sg.freq)
     return out[: sg.snps]
 
 
@@ -306,12 +315,12 @@ def sharded_grm_matvec(
         v = v[:, None]
 
     def body(zq_t_local, zq_n_local, f_local, v_rep):
-        zv = packed_matmul(zq_t_local, v_rep, interpret=interpret)
+        zv = _local_mm(zq_t_local, zq_n_local, v_rep, interpret)
         fl = f_local.astype(zv.dtype)
         if center:
             colsum = jnp.sum(v_rep.astype(zv.dtype), axis=0)
             zv = zv - 2.0 * fl[:, None] * colsum[None, :]
-        gv = packed_matmul(zq_n_local, zv, interpret=interpret)
+        gv = _local_mm(zq_n_local, zq_t_local, zv, interpret)
         if center:
             gv = gv - 2.0 * (fl @ zv)[None, :]
         return jax.lax.psum(gv, ax)

@@ -1,0 +1,78 @@
+"""2D mesh (individuals x SNPs) sharding correctness on the 8-device
+virtual CPU mesh: every op must match the single-chip oracle exactly
+(1-chip vs N-chip equality, SURVEY.md §4 multi-node test plan)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from miraculix_tpu import parallel
+from miraculix_tpu.io import bed
+from miraculix_tpu.ops import ref_impl
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return parallel.make_mesh_2d(8)  # 2 x 4 or 4 x 2
+
+
+@pytest.fixture(scope="module")
+def panel():
+    g = bed.simulate_genotypes(70, 900, seed=11)
+    return g
+
+
+def test_mesh_shape(mesh):
+    di, dk = mesh.shape["i"], mesh.shape["k"]
+    assert di * dk == 8
+
+
+def test_sharded_dgemm_2d_both_orientations(mesh, panel, rng):
+    sg = parallel.shard_genotypes_2d(panel, mesh)
+    f = ref_impl.allele_freq_oracle(panel, axis=0)
+
+    b = rng.standard_normal((900, 3)).astype(np.float32)
+    bp = parallel.pad_snp_vec(sg, jnp.asarray(b))
+    c = np.asarray(parallel.sharded_dgemm_2d(sg, bp, trans="n"))[:70]
+    want = ref_impl.dgemm_oracle(panel, b.astype(np.float64), f, trans="n")
+    assert np.abs(c - want).max() / max(1.0, np.abs(want).max()) < 1e-4
+
+    bt = rng.standard_normal((70, 3)).astype(np.float32)
+    btp = parallel.pad_indiv_vec(sg, jnp.asarray(bt))
+    ct = np.asarray(parallel.sharded_dgemm_2d(sg, btp, trans="t"))[:900]
+    wantt = ref_impl.dgemm_oracle(panel, bt.astype(np.float64), f, trans="t")
+    assert np.abs(ct - wantt).max() / max(1.0, np.abs(wantt).max()) < 1e-4
+
+
+def test_sharded_grm_2d(mesh, panel):
+    sg = parallel.shard_genotypes_2d(panel, mesh)
+    g2 = np.asarray(parallel.sharded_grm_2d(sg))[:70, :70]
+    f = ref_impl.allele_freq_oracle(panel, axis=0)
+    want = ref_impl.grm_oracle(panel, f)
+    assert np.abs(g2 - want).max() < 1e-4
+
+
+def test_sharded_cg_2d_matches_dense(mesh, panel, rng):
+    sg = parallel.shard_genotypes_2d(panel, mesh)
+    f = ref_impl.allele_freq_oracle(panel, axis=0)
+    b = rng.standard_normal(70).astype(np.float32)
+    lam = 80.0
+    res = parallel.sharded_cg_solve_2d(sg, jnp.asarray(b), lam=lam,
+                                       tol=1e-6, maxiter=300)
+    x = np.asarray(res.x)[:70]
+    zc = np.where(panel == 3, 0, panel).astype(np.float64) - 2.0 * f[None, :]
+    a = zc @ zc.T + lam * np.eye(70)
+    np.testing.assert_allclose(a @ x, b, atol=5e-3)
+
+
+def test_2d_matches_1d(mesh, panel, rng):
+    """Cross-layout equality: 2D result == 1D result == single-chip."""
+    sg2 = parallel.shard_genotypes_2d(panel, mesh)
+    mesh1 = parallel.make_mesh(8)
+    sg1 = parallel.shard_genotypes(panel, mesh1)
+    b = rng.standard_normal((900, 2)).astype(np.float32)
+    c2 = np.asarray(parallel.sharded_dgemm_2d(
+        sg2, parallel.pad_snp_vec(sg2, jnp.asarray(b)), trans="n"))[:70]
+    c1 = np.asarray(parallel.sharded_dgemm(sg1, jnp.asarray(b), trans="n"))[:70]
+    np.testing.assert_allclose(c2, c1, atol=1e-3)
