@@ -200,10 +200,45 @@ def from_plink(
 
 
 def from_bed(path: str, freq: Optional[np.ndarray] = None, **kw: Any) -> GenoMatrix:
+    """Build a GenoMatrix from a PLINK .bed fileset.
+
+    Fast path: the fused native ingestion (io.native.bed_ingest) goes
+    straight from the SNP-major .bed payload to planar16 words of BOTH
+    orientations plus the frequency caches, never materializing the dense
+    genotype matrix (8x the .bed size).  Falls back to decode+pack when the
+    native codec is unavailable or missing-position tracking is requested.
+    """
     from .io import bed
 
+    if not kw.get("keep_missing_info"):
+        res = _ingest_bed_native(path, freq)
+        if res is not None:
+            return res
     geno, computed_freq = bed.read_bed_genotypes(path)
     return from_dense(geno, freq=freq if freq is not None else computed_freq, **kw)
+
+
+def _ingest_bed_native(path: str, freq: Optional[np.ndarray]) -> Optional[GenoMatrix]:
+    from .io import bed
+
+    if _native.get_lib() is None or not hasattr(_native.get_lib(), "mx_bed_ingest"):
+        return None
+    payload, n_snps, n_indiv = bed.read_bed_payload(path)
+    ipad, kws = codec.planar16_dims(n_indiv, n_snps, row_mult=256)
+    spad, kwi = codec.planar16_dims(n_snps, n_indiv, row_mult=256)
+    out = _native.bed_ingest(payload, n_snps, n_indiv, spad, kwi, ipad, kws)
+    if out is None:
+        return None
+    zqt, zqn, freq_c, pfreq = out
+    return GenoMatrix(
+        snps=n_snps,
+        indiv=n_indiv,
+        zq_n=jnp.asarray(zqn),
+        zq_t=jnp.asarray(zqt),
+        freq=jnp.asarray((freq_c if freq is None else np.asarray(freq))
+                         .astype(np.float32)),
+        pseudo_freq=jnp.asarray(pfreq.astype(np.float32)),
+    )
 
 
 def save(path: str, g: GenoMatrix) -> None:

@@ -56,6 +56,25 @@ def read_bed(path: str):
     return plink, n_snps, n_indiv
 
 
+def read_bed_payload(path: str):
+    """Read a .bed fileset WITHOUT transposing: returns ``(payload, n_snps,
+    n_indiv)`` with ``payload`` uint8 [snps, ceil(indiv/4)] — the raw
+    SNP-major stream, zero-copy from disk order.  Input contract of the
+    fused native ingestion (io.native.bed_ingest)."""
+    fam = path[:-4] + ".fam"
+    bim = path[:-4] + ".bim"
+    n_indiv = _count_lines(fam)
+    n_snps = _count_lines(bim)
+    nbytes = (n_indiv + 3) // 4
+    with open(path, "rb") as fh:
+        if fh.read(3) != BED_MAGIC:
+            raise ValueError("not a valid .bed file (bad magic bytes)")
+        payload = np.frombuffer(fh.read(), dtype=np.uint8)
+    if payload.size != nbytes * n_snps:
+        raise ValueError("truncated .bed payload")
+    return payload.reshape(n_snps, nbytes), n_snps, n_indiv
+
+
 def read_bed_slice(path: str, snp_start: int, snp_end: int):
     """Read only the SNP range [snp_start, snp_end) of a .bed fileset.
 

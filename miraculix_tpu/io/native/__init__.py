@@ -68,6 +68,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.mx_count_missing.argtypes = [u8p, i64, i64]
         lib.mx_count_missing.restype = i64
         lib.mx_transpose_u8.argtypes = [u8p, i64, i64, u8p]
+        if hasattr(lib, "mx_bed_ingest"):
+            lib.mx_bed_ingest.argtypes = [u8p, i64, i64, i64, i64, i64, i64,
+                                          u32p, u32p, f64p, f64p]
         lib.mx_codec_version.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -158,3 +161,24 @@ def transpose_u8(geno: np.ndarray) -> Optional[np.ndarray]:
     lib.mx_transpose_u8(_ptr(geno, ctypes.c_uint8), rows, cols,
                         _ptr(out, ctypes.c_uint8))
     return out
+
+
+def bed_ingest(payload: np.ndarray, snps: int, indiv: int,
+               spad: int, kwi: int, ipad: int, kws: int):
+    """Fused .bed -> planar16 both orientations + freq/pseudo-freq, never
+    materializing the dense matrix.  ``payload``: uint8 [snps, nbytes]
+    (the raw SNP-major .bed stream after the magic bytes).  Returns
+    (zq_t, zq_n, freq, pseudo_freq) or None if native is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mx_bed_ingest"):
+        return None
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    zqt = np.empty((spad, kwi), dtype=np.uint32)
+    zqn = np.empty((ipad, kws), dtype=np.uint32)
+    freq = np.empty(snps, dtype=np.float64)
+    pfreq = np.empty(indiv, dtype=np.float64)
+    lib.mx_bed_ingest(_ptr(payload, ctypes.c_uint8), snps, indiv,
+                      spad, kwi, ipad, kws,
+                      _ptr(zqt, ctypes.c_uint32), _ptr(zqn, ctypes.c_uint32),
+                      _ptr(freq, ctypes.c_double), _ptr(pfreq, ctypes.c_double))
+    return zqt, zqn, freq, pfreq

@@ -168,6 +168,92 @@ void mx_transpose_u8(const uint8_t* in, int64_t rows, int64_t cols,
     }
 }
 
-int mx_codec_version(void) { return 1; }
+// Fused .bed ingestion: raw SNP-major PLINK payload -> planar16 packings
+// of BOTH orientations + allele frequencies, without ever materializing the
+// dense genotype matrix (which is 8x the .bed size — prohibitive at the
+// reference's 1M-SNP x 100K-individual scale).  This is the runtime
+// equivalent of the reference's plink2Geno5codes32 bit-stream converters
+// (src/miraculix/5codesChar.cc:213-340) fused with its freq pass
+// (haplogeno.cc:1547-1661), targeting the planar16 layout.
+//
+// payload: [snps, nbytes] row-major — the .bed stream after the 3 magic
+// bytes, untransposed.  zqt: [spad, kwi]; zqn: [ipad, kws]; freq: [snps];
+// pfreq: [indiv].  Missing (PLINK code 01) packs as 0 and is excluded from
+// both frequency denominators.
+void mx_bed_ingest(const uint8_t* payload, int64_t snps, int64_t indiv,
+                   int64_t spad, int64_t kwi, int64_t ipad, int64_t kws,
+                   uint32_t* zqt, uint32_t* zqn,
+                   double* freq, double* pfreq) {
+    const int64_t nbytes = (indiv + 3) / 4;
+    static const uint8_t dec[4] = {0u, 3u, 1u, 2u};
+
+    // pass 1: zq_t rows (decoded columns = individuals) + per-SNP freq
+#pragma omp parallel for schedule(static)
+    for (int64_t s = 0; s < spad; ++s) {
+        uint32_t* dst = zqt + s * kwi;
+        if (s >= snps) {
+            std::memset(dst, 0, (size_t)kwi * 4);
+            continue;
+        }
+        const uint8_t* row = payload + s * nbytes;
+        int64_t sum = 0, called = 0;
+        for (int64_t c = 0; c < kwi; ++c) {
+            uint32_t w = 0;
+            for (int m = 0; m < 16; ++m) {
+                int64_t idx = (int64_t)m * kwi + c;
+                if (idx >= indiv) continue;
+                uint32_t g = dec[(row[idx >> 2] >> (2 * (idx & 3))) & 3u];
+                if (g == 3u) {
+                    g = 0u;
+                } else {
+                    sum += g;
+                    called += 1;
+                }
+                w |= g << (2 * m);
+            }
+            dst[c] = w;
+        }
+        freq[s] = (double)sum / (2.0 * (double)(called > 0 ? called : 1));
+    }
+
+    // pass 2: zq_n rows (decoded columns = SNPs) + per-individual freq.
+    // Parallel over byte-rows (4 individuals each); s/kws is the plane.
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < (ipad + 3) / 4; ++b) {
+        uint32_t* dst[4];
+        int64_t sum[4] = {0, 0, 0, 0}, called[4] = {0, 0, 0, 0};
+        for (int j = 0; j < 4; ++j) {
+            int64_t i = 4 * b + j;
+            dst[j] = (i < ipad) ? zqn + i * kws : nullptr;
+            if (dst[j]) std::memset(dst[j], 0, (size_t)kws * 4);
+        }
+        if (4 * b >= indiv) continue;  // pure padding rows: zeroed above
+        for (int64_t s = 0; s < snps; ++s) {
+            uint8_t byte = payload[s * nbytes + b];
+            int64_t m = s / kws, c = s - m * kws;
+            uint32_t shift = (uint32_t)(2 * m);
+            for (int j = 0; j < 4; ++j) {
+                int64_t i = 4 * b + j;
+                if (i >= indiv) break;
+                uint32_t g = dec[(byte >> (2 * j)) & 3u];
+                if (g == 3u) {
+                    g = 0u;
+                } else {
+                    sum[j] += g;
+                    called[j] += 1;
+                }
+                dst[j][c] |= g << shift;
+            }
+        }
+        for (int j = 0; j < 4; ++j) {
+            int64_t i = 4 * b + j;
+            if (i < indiv)
+                pfreq[i] = (double)sum[j]
+                           / (2.0 * (double)(called[j] > 0 ? called[j] : 1));
+        }
+    }
+}
+
+int mx_codec_version(void) { return 2; }
 
 }  // extern "C"

@@ -54,3 +54,26 @@ def test_transpose_and_missing_count(geno):
     t = native.transpose_u8(geno)
     np.testing.assert_array_equal(t, geno.T)
     assert native.count_missing(geno) == int((geno == 3).sum())
+
+
+def test_bed_ingest_fused_matches_fallback(tmp_path, rng):
+    """Fused native .bed ingestion (io.native.bed_ingest) must be
+    bit-identical to decode+pack, including missing handling and both
+    frequency caches."""
+    from miraculix_tpu import geno as G
+    from miraculix_tpu.io import bed, native
+
+    if native.get_lib() is None or not hasattr(native.get_lib(), "mx_bed_ingest"):
+        import pytest
+        pytest.skip("native codec unavailable")
+    g = bed.simulate_genotypes(203, 1401, seed=15, missing_rate=0.04)
+    p = str(tmp_path / "f.bed")
+    bed.write_bed(p, g)
+    fast = G.from_bed(p)
+    slow = G.from_dense(bed.read_bed_genotypes(p)[0])
+    np.testing.assert_array_equal(np.asarray(fast.zq_n), np.asarray(slow.zq_n))
+    np.testing.assert_array_equal(np.asarray(fast.zq_t), np.asarray(slow.zq_t))
+    np.testing.assert_allclose(np.asarray(fast.freq), np.asarray(slow.freq),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fast.pseudo_freq),
+                               np.asarray(slow.pseudo_freq), atol=1e-6)
