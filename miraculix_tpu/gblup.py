@@ -25,8 +25,27 @@ from .solve.cg import grm_cg_solve, grm_matvec
 from .solve.dense import dense_solve
 
 
+def _grm_matvec_of(g):
+    """G·v operator for a GenoMatrix (single chip) or a ShardedGeno /
+    ShardedGeno2D (distributed) — GBLUP runs unchanged on any of them."""
+    from .parallel import (ShardedGeno, ShardedGeno2D, pad_indiv_vec,
+                           sharded_dgemm_2d, sharded_grm_matvec)
+
+    if isinstance(g, ShardedGeno):
+        return lambda v: sharded_grm_matvec(g, v)
+    if isinstance(g, ShardedGeno2D):
+        def mv2d(v):
+            vp = pad_indiv_vec(g, jnp.asarray(v))
+            zv = sharded_dgemm_2d(g, vp, trans="t")
+            snpmask = (jnp.arange(zv.shape[0]) < g.snps).astype(zv.dtype)
+            gv = sharded_dgemm_2d(g, zv * snpmask[:, None], trans="n")
+            return gv[: g.indiv]
+        return mv2d
+    return lambda v: grm_matvec(g, v)
+
+
 def randomized_grm_pca(
-    g: GenoMatrix,
+    g,
     k: int = 10,
     oversample: int = 8,
     power_iters: int = 2,
@@ -35,19 +54,20 @@ def randomized_grm_pca(
     """Top-k eigenpairs of the (unscaled, centered) GRM via the Halko
     randomized range finder, G applied implicitly as Z_c(Z_cᵀ ·) — the
     reference's randomized_snp_pca (calculate_gblup.jl:152-158) without
-    ever forming G.
+    ever forming G.  Accepts a GenoMatrix or a sharded container.
 
     Returns (eigenvalues [k], eigenvectors [indiv, k]).
     """
     n = g.indiv
+    matvec = _grm_matvec_of(g)
     rng = np.random.default_rng(seed)
     omega = jnp.asarray(rng.standard_normal((n, k + oversample)), jnp.float32)
-    y = grm_matvec(g, omega)
+    y = matvec(omega)
     for _ in range(power_iters):
         q, _ = jnp.linalg.qr(y)
-        y = grm_matvec(g, q)
+        y = matvec(q)
     q, _ = jnp.linalg.qr(y)
-    t = q.T @ grm_matvec(g, q)
+    t = q.T @ matvec(q)
     t = 0.5 * (t + t.T)
     w, v = jnp.linalg.eigh(t)
     idx = jnp.argsort(w)[::-1][:k]
@@ -77,7 +97,17 @@ def gblup(
 
     The mixed-model scale: G is VanRaden-scaled (sigma^2 normalized), so
     lam = (1 - h2)/h2 directly.
+
+    ``g`` may be a single-chip GenoMatrix or a distributed ShardedGeno /
+    ShardedGeno2D (solver='cg' only) — the whole pipeline (PCA, both CG
+    solves, the BLUP matvec) then runs across the mesh with collective
+    reductions, the reference's single-GPU pipeline generalized.
     """
+    from .parallel import ShardedGeno, ShardedGeno2D
+
+    sharded = isinstance(g, (ShardedGeno, ShardedGeno2D))
+    if sharded and solver != "cg":
+        raise ValueError("sharded GBLUP supports solver='cg' only")
     n = g.indiv
     lam = (1.0 - h2) / h2
     y = np.asarray(y, dtype=np.float64).reshape(n)
@@ -93,13 +123,29 @@ def gblup(
     rhs = jnp.asarray(np.concatenate([x, y[:, None]], axis=1), jnp.float32)
     sigma2 = float(g.sigma2)
 
+    def _cg(rhs_arr):
+        """(Zc Zcᵀ + lam*sigma2 I) b' = rhs on whichever container."""
+        if isinstance(g, ShardedGeno):
+            from .parallel import sharded_cg_solve
+
+            return sharded_cg_solve(g, rhs_arr, lam=lam * sigma2,
+                                    tol=tol, maxiter=maxiter)
+        if isinstance(g, ShardedGeno2D):
+            from .parallel import sharded_cg_solve_2d
+            from .solve.cg import CGResult
+
+            r = sharded_cg_solve_2d(g, rhs_arr, lam=lam * sigma2,
+                                    tol=tol, maxiter=maxiter)
+            return CGResult(r.x[:n], r.iterations, r.residual_norm)
+        return grm_cg_solve(g, rhs_arr, lam=lam * sigma2, scale=False,
+                            tol=tol, maxiter=maxiter)
+
     if solver == "cg":
         # scaled-G operator: (G/sigma2 + lam I) b = rhs, one block solve
-        res = grm_cg_solve(g, rhs, lam=lam * sigma2, scale=False,
-                           tol=tol, maxiter=maxiter)
+        res = _cg(rhs)
         b = np.asarray(res.x, np.float64) * sigma2  # un-scale: see below
         iters = int(res.iterations)
-        # grm_cg_solve solved (Zc Zcᵀ + lam*sigma2 I) b' = rhs, i.e.
+        # the CG solved (Zc Zcᵀ + lam*sigma2 I) b' = rhs, i.e.
         # sigma2 (G_scaled + lam I) b' = rhs  =>  b = sigma2 * b'
     else:
         gmat = grm(g, scale=True, dtype=jnp.float32)
@@ -113,13 +159,11 @@ def gblup(
     beta = np.linalg.solve(xtbx, xtby)
 
     if solver == "cg":
-        res_u = grm_cg_solve(
-            g, jnp.asarray((y - x @ beta)[:, None], jnp.float32),
-            lam=lam * sigma2, scale=False, tol=tol, maxiter=maxiter)
+        res_u = _cg(jnp.asarray((y - x @ beta)[:, None], jnp.float32))
         u = np.asarray(res_u.x, np.float64)[:, 0] * sigma2
         iters += int(res_u.iterations)
         g_hat = np.asarray(
-            grm_matvec(g, jnp.asarray(u[:, None], jnp.float32)),
+            _grm_matvec_of(g)(jnp.asarray(u[:, None], jnp.float32)),
             np.float64)[:, 0] / sigma2
     else:
         u = np.asarray(dense_solve(

@@ -65,3 +65,24 @@ def test_run_gblup_cli_path(tmp_path, panel):
     path = str(tmp_path / "p.bed")
     bed.write_bed(path, geno)
     assert gblup.run_gblup(path, h2=0.5, pcs=2, solver="cg") == 0
+
+
+@pytest.mark.parametrize("layout", ["1d", "2d"])
+def test_gblup_sharded_matches_single_chip(rng, layout):
+    """Distributed GBLUP (8-device virtual mesh) must reproduce the
+    single-chip estimates — the BASELINE multi-chip pipeline config."""
+    from miraculix_tpu import parallel
+    from miraculix_tpu.gblup import gblup, simulate_phenotypes
+
+    g = bed.simulate_genotypes(64, 900, seed=21)
+    y, _ = simulate_phenotypes(g, h2=0.6, seed=3)
+    gm = mx.from_dense(g)
+    ref = gblup(gm, y, h2=0.6, n_pcs=2, solver="cg", tol=1e-6, maxiter=500)
+
+    if layout == "1d":
+        sg = parallel.shard_genotypes(g, parallel.make_mesh(8))
+    else:
+        sg = parallel.shard_genotypes_2d(g, parallel.make_mesh_2d(8))
+    dist = gblup(sg, y, h2=0.6, n_pcs=2, solver="cg", tol=1e-6, maxiter=500)
+    np.testing.assert_allclose(dist.beta, ref.beta, atol=1e-2)
+    np.testing.assert_allclose(dist.g_hat, ref.g_hat, atol=5e-2)
