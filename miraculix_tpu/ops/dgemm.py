@@ -236,7 +236,7 @@ def packed_matmul_tall(
     For C = Z @ B pass the transposed twin (zq_t); for C = Zᵀ @ B pass zq_n.
     ``b``: [contract, n] with contract <= packed rows.  Returns f32
     [16*kw, n] (output rows = decoded columns, zero padding past the real
-    count).  Preferred over :func:`packed_matmul` when n < 64 — see
+    count).  Preferred over :func:`packed_matmul` when n <= 64 — see
     ``_pmm_tall_kernel``.
     """
     spad, kwi = zq_other.shape
@@ -417,7 +417,7 @@ def dgemm(
             zq, b, tile_r=tile_r, tile_kw=tile_kw, split=True,
             interpret=interpret,
         )
-    elif precision == "fast" and b.shape[1] < 64 and b.shape[0] <= zq_other.shape[0]:
+    elif precision == "fast" and b.shape[1] <= 64 and b.shape[0] <= zq_other.shape[0]:
         # skinny RHS: tall transposed schedule (see _pmm_tall_kernel)
         c = packed_matmul_tall(zq_other, b, interpret=interpret)
     else:

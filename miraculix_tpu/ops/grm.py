@@ -31,11 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..geno import GenoMatrix
 from .common import decode_planar16, on_cpu, pick_tile
 
-# swept on v5e at 4096 indiv x 131072 snps: 512x256 -> 518 Tops/s-equiv
+# swept on v5e at 4096 indiv x 131072 snps: 512x512 -> 556 Tops/s-equiv
 # (tile_m=1024 overflows the 16MB scoped-VMEM stack); pick_tile degrades
 # gracefully for small row counts.
 DEFAULT_TILE_M = 512
-DEFAULT_TILE_KW = 256
+DEFAULT_TILE_KW = 512
 
 
 def _crossprod_kernel(zi_ref, zj_ref, out_ref):

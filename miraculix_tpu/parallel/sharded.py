@@ -46,9 +46,9 @@ from ..solve.cg import CGResult
 
 def _local_mm(zq_direct, zq_other, b, interpret, split=True):
     """Local-shard packed matmul choosing the tall transposed schedule for
-    skinny RHS (n < 64; see ops.dgemm._pmm_tall_kernel) — CG solves carry
+    skinny RHS (n <= 64; see ops.dgemm._pmm_tall_kernel) — CG solves carry
     one-to-few RHS columns, exactly the tall case."""
-    if split and b.shape[1] < 64 and b.shape[0] <= zq_other.shape[0]:
+    if split and b.shape[1] <= 64 and b.shape[0] <= zq_other.shape[0]:
         return packed_matmul_tall(zq_other, b, interpret=interpret)
     return packed_matmul(zq_direct, b, split=split, interpret=interpret)
 
