@@ -234,3 +234,107 @@ def ld(
     sigma = jnp.sqrt(jnp.diagonal(m))
     m = m / sigma[:, None] / sigma[None, :]
     return m
+
+
+def grm_blocked(
+    source,
+    row_block: int = 8192,
+    scale: bool = True,
+    out: Optional["np.ndarray"] = None,
+):
+    """Out-of-core GRM for panels whose relationship matrix (or packed
+    genotypes) exceed device HBM — the single-chip path for the reference's
+    "large" simulated panels (e.g. 100K+ individuals,
+    utils/genotype_simulation_plink/Makefile:1-9).
+
+    The device computes one [row_block x row_block] integer crossproduct
+    tile at a time over the full SNP axis (upper-triangle pairs only, like
+    the reference's tile loop snp_multiply_cuda.cu:194-340, whose tiles it
+    streams over CUDA streams); tiles accumulate into a HOST float32 matrix
+    and the VanRaden finish runs on the host in float64.
+
+    ``source``: a GenoMatrix (packed matrix fits HBM, only the GRM
+    doesn't), a dense uint8 genotype matrix, or a .bed path (ingested via
+    the fused native codec; only packed row blocks ever reach the device).
+    Returns the [indiv, indiv] (scaled) GRM as host numpy float32.
+    """
+    import numpy as np
+
+    from ..geno import GenoMatrix
+    from .common import on_cpu
+
+    interpret = on_cpu()
+    # -- resolve the source to (row-sliceable packed zq_n, indiv, snps, freq)
+    if isinstance(source, GenoMatrix):
+        zq, indiv, freq = source.zq_n, source.indiv, np.asarray(source.freq)
+        dev_resident = True
+    else:
+        if isinstance(source, str):
+            from ..io import bed, codec as _codec
+            from ..io import native as _nat
+
+            payload, snps_, indiv = bed.read_bed_payload(source)
+            ipad, kws = _codec.planar16_dims(indiv, snps_, row_mult=256)
+            spad, kwi = _codec.planar16_dims(snps_, indiv, row_mult=256)
+            nat = _nat.bed_ingest(payload, snps_, indiv, spad, kwi, ipad, kws)
+            if nat is not None:
+                _, zq, freq, _ = nat  # host zq_n [ipad, kws]
+            else:
+                dense = _codec.plink_to_dense(
+                    np.ascontiguousarray(payload.T), indiv)
+                freq = _codec.allele_freq(dense)
+                zq = _codec.pack_planar16(dense, row_mult=256)
+        else:
+            from ..io import codec as _codec
+
+            dense = np.asarray(source, dtype=np.uint8)
+            indiv = dense.shape[0]
+            freq = _codec.allele_freq(dense)
+            zq = _codec.pack_planar16(dense, row_mult=256)
+        dev_resident = False
+
+    rows_pad = zq.shape[0]
+    rb = max(512, (row_block // 512) * 512)
+    nb = -(-rows_pad // rb)
+
+    if out is None:
+        out = np.zeros((indiv, indiv), dtype=np.float32)
+
+    def block(i):
+        sl = zq[i * rb: (i + 1) * rb]
+        if sl.shape[0] < rb:  # ragged last block: pad rows
+            slp = np.zeros((rb, zq.shape[1]),
+                           dtype=np.uint32) if not dev_resident else None
+            if dev_resident:
+                return jnp.zeros((rb, zq.shape[1]), jnp.uint32
+                                 ).at[: sl.shape[0]].set(sl)
+            slp[: sl.shape[0]] = np.asarray(sl)
+            return jnp.asarray(slp)
+        return jnp.asarray(sl)
+
+    for i in range(nb):
+        zi = block(i)
+        r0, r1 = i * rb, min((i + 1) * rb, indiv)
+        if r0 >= indiv:
+            break
+        for j in range(i, nb):
+            c0, c1 = j * rb, min((j + 1) * rb, indiv)
+            if c0 >= indiv:
+                break
+            zj = zi if j == i else block(j)
+            tile = np.asarray(packed_crossprod_rect(
+                zi, zj, interpret=interpret)).astype(np.float32)
+            out[r0:r1, c0:c1] = tile[: r1 - r0, : c1 - c0]
+            if j > i:
+                out[c0:c1, r0:r1] = tile[: r1 - r0, : c1 - c0].T
+    # VanRaden finish (Schlather decomposition, docs/grm.md:5-10), host f64
+    n = indiv
+    colsum = out.sum(axis=1, dtype=np.float64)
+    total = colsum.sum()
+    out -= (colsum[None, :] / n).astype(np.float32)
+    out -= (colsum[:, None] / n).astype(np.float32)
+    out += np.float32(total / (n * n))
+    if scale:
+        f = np.asarray(freq, dtype=np.float64)
+        out /= np.float32(2.0 * np.sum(f * (1.0 - f)))
+    return out

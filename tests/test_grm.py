@@ -61,3 +61,24 @@ def test_ld_matches_oracle(rng):
     # ld() centers by 2f (allele freq), not the sample mean; they coincide
     # because mean = 2f by definition
     assert np.abs(got - corr).max() < 1e-4
+
+
+def test_grm_blocked_matches_grm(rng, tmp_path):
+    """Out-of-core blocked GRM (host accumulation, triangle tile pairs) must
+    reproduce the on-device GRM from every source type."""
+    from miraculix_tpu.ops.grm import grm_blocked
+
+    g = bed.simulate_genotypes(700, 1500, seed=33)
+    gm = mx.from_dense(g)
+    want = np.asarray(mx.grm(gm))
+    # row_block=512 forces a 2x2 block grid (indiv_pad = 768 -> blocks)
+    got = grm_blocked(gm, row_block=512)
+    np.testing.assert_allclose(got[:700, :700], want, atol=1e-4)
+
+    got_dense = grm_blocked(g, row_block=512)
+    np.testing.assert_allclose(got_dense, want, atol=1e-4)
+
+    p = str(tmp_path / "oc.bed")
+    bed.write_bed(p, g)
+    got_bed = grm_blocked(p, row_block=512)
+    np.testing.assert_allclose(got_bed, want, atol=1e-4)
