@@ -338,3 +338,57 @@ def grm_blocked(
         f = np.asarray(freq, dtype=np.float64)
         out /= np.float32(2.0 * np.sum(f * (1.0 - f)))
     return out
+
+
+def ld_blocked(
+    g: GenoMatrix,
+    row_block: int = 8192,
+    out: Optional["np.ndarray"] = None,
+):
+    """Out-of-core LD r² matrix: SNP x SNP correlation tiles computed on
+    device (rect int8 crossproducts of the transposed packing over the full
+    individual axis), accumulated into a host float32 matrix — LD matrices
+    outgrow HBM at ~60K SNPs.  Finish per crossproduct.jl:128-152."""
+    import numpy as np
+
+    from .common import on_cpu
+
+    interpret = on_cpu()
+    zq = g.zq_t
+    snps, n = g.snps, g.indiv
+    rows_pad = zq.shape[0]
+    rb = max(512, (row_block // 512) * 512)
+    nb = -(-rows_pad // rb)
+
+    if out is None:
+        out = np.zeros((snps, snps), dtype=np.float32)
+    f = np.asarray(g.freq, dtype=np.float64)
+
+    def block(i):
+        sl = zq[i * rb: (i + 1) * rb]
+        if sl.shape[0] < rb:
+            return jnp.zeros((rb, zq.shape[1]), zq.dtype).at[: sl.shape[0]].set(sl)
+        return sl
+
+    for i in range(nb):
+        r0, r1 = i * rb, min((i + 1) * rb, snps)
+        if r0 >= snps:
+            break
+        zi = block(i)
+        for j in range(i, nb):
+            c0, c1 = j * rb, min((j + 1) * rb, snps)
+            if c0 >= snps:
+                break
+            zj = zi if j == i else block(j)
+            tile = np.asarray(packed_crossprod_rect(
+                zi, zj, interpret=interpret)).astype(np.float64)
+            tile = tile[: r1 - r0, : c1 - c0]
+            tile -= (4.0 * n) * np.outer(f[r0:r1], f[c0:c1])
+            out[r0:r1, c0:c1] = tile
+            if j > i:
+                out[c0:c1, r0:r1] = tile.T
+    sigma = np.sqrt(np.diag(out).copy())
+    sigma[sigma == 0] = 1.0
+    out /= sigma[None, :]
+    out /= sigma[:, None]
+    return out

@@ -368,3 +368,34 @@ def _mesh_of(sg: ShardedGeno) -> Mesh:
     if isinstance(sharding, NamedSharding):
         return sharding.mesh
     raise ValueError("ShardedGeno arrays carry no NamedSharding; pass mesh=")
+
+
+def save_sharded(path: str, sg: ShardedGeno) -> None:
+    """Checkpoint a sharded panel (.npz).  Shards gather to host on save and
+    re-shard onto the target mesh on load — the packed panel (2 bits per
+    genotype) is the small representation, so this is cheap relative to
+    re-ingesting .bed.  (The reference has no checkpointing at all,
+    SURVEY.md §5.)"""
+    np.savez_compressed(
+        path, snps=sg.snps, indiv=sg.indiv, spd=sg.spd, axis=sg.axis,
+        zq_n=np.asarray(sg.zq_n), zq_t=np.asarray(sg.zq_t),
+        freq=np.asarray(sg.freq),
+    )
+
+
+def load_sharded(path: str, mesh: Mesh) -> ShardedGeno:
+    """Inverse of :func:`save_sharded`; the mesh may have a different device
+    count as long as it divides the stored per-device padding evenly."""
+    z = np.load(path)
+    axis = str(z["axis"])
+    d = mesh.shape[axis]
+    total = z["zq_t"].shape[0]
+    if total % d:
+        raise ValueError(
+            f"stored panel ({total} padded snps) does not split over {d} devices")
+    return ShardedGeno(
+        snps=int(z["snps"]), indiv=int(z["indiv"]), spd=total // d, axis=axis,
+        zq_n=jax.device_put(z["zq_n"], NamedSharding(mesh, P(None, axis))),
+        zq_t=jax.device_put(z["zq_t"], NamedSharding(mesh, P(axis, None))),
+        freq=jax.device_put(z["freq"], NamedSharding(mesh, P(axis))),
+    )

@@ -82,3 +82,13 @@ def test_grm_blocked_matches_grm(rng, tmp_path):
     bed.write_bed(p, g)
     got_bed = grm_blocked(p, row_block=512)
     np.testing.assert_allclose(got_bed, want, atol=1e-4)
+
+
+def test_ld_blocked_matches_ld(rng):
+    from miraculix_tpu.ops.grm import ld_blocked
+
+    g = bed.simulate_genotypes(150, 1100, seed=34)
+    gm = mx.from_dense(g)
+    want = np.asarray(mx.ld(gm))
+    got = ld_blocked(gm, row_block=512)
+    np.testing.assert_allclose(got, want, atol=2e-4)

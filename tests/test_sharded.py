@@ -96,3 +96,20 @@ def test_sharded_cg_solve(rng, mesh8, panel):
     res = parallel.sharded_cg_solve(sg, b, lam=lam, tol=1e-8, maxiter=1000)
     want = np.linalg.solve(gmat + lam * np.eye(80), b)
     assert np.abs(np.asarray(res.x) - want).max() < 1e-4
+
+
+def test_save_load_sharded(tmp_path, rng):
+    from miraculix_tpu import parallel
+    from miraculix_tpu.io import bed
+    from miraculix_tpu.parallel.sharded import load_sharded, save_sharded
+
+    g = bed.simulate_genotypes(40, 700, seed=8)
+    mesh = parallel.make_mesh(8)
+    sg = parallel.shard_genotypes(g, mesh)
+    p = str(tmp_path / "panel.npz")
+    save_sharded(p, sg)
+    sg2 = load_sharded(p, parallel.make_mesh(4))  # different device count
+    b = rng.standard_normal((700, 2)).astype(np.float32)
+    c1 = np.asarray(parallel.sharded_dgemm(sg, b, trans="n"))
+    c2 = np.asarray(parallel.sharded_dgemm(sg2, b, trans="n"))
+    np.testing.assert_allclose(c1, c2, atol=1e-4)
