@@ -45,7 +45,9 @@ def set_options(
     chunked-f64 path use precision='f64' on the functional API.
     """
     set_global_options(Options(
-        use_tpu=bool(use_gpu) or True,
+        # advisory, like the reference's flag: kernels run on whatever
+        # backend jax selected (interpret mode when that backend is CPU)
+        use_tpu=bool(use_gpu),
         cores=cores,
         precision="fast",
         mean_subtract=bool(meanSubstract),

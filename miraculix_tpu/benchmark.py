@@ -71,7 +71,17 @@ def _timed_scan_zq(fn: Callable, zq, iters: int) -> float:
             best = min(best, time.time() - t0)
         return best
 
-    return (t(fn_n) - t(f1)) / iters
+    return _diff_per_iter(t(fn_n), t(f1), iters)
+
+
+def _diff_per_iter(t_full: float, t_base: float, iters: int) -> float:
+    """Differenced per-iteration time; when the problem is too small for the
+    tunnel-noise floor (difference <= 0), fall back to the full-run upper
+    bound rather than reporting a negative/zero time."""
+    per = (t_full - t_base) / iters
+    if per <= 0:
+        return t_full / (iters + 1)
+    return per
 
 
 def _timed_scan_b(fn: Callable, zq, b, iters: int) -> float:
@@ -101,7 +111,7 @@ def _timed_scan_b(fn: Callable, zq, b, iters: int) -> float:
             best = min(best, time.time() - t0)
         return best
 
-    return (t(fn_n) - t(f1)) / iters
+    return _diff_per_iter(t(fn_n), t(f1), iters)
 
 
 def bench_dgemm(panel: str, ncol: int = 32, iters: int = 16,

@@ -79,10 +79,15 @@ def cmd_validate(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    """Time the core ops (benchmark.f90 / main.cc timing loops)."""
-    import jax
+    """Time the core ops (benchmark.f90 / main.cc timing loops).
+
+    Uses the tunnel-safe scan-carry timers from miraculix_tpu.benchmark —
+    a loop body with no dependence on the carry gets hoisted by XLA and
+    reports impossibly fast numbers.
+    """
     import jax.numpy as jnp
 
+    from .benchmark import _timed_scan_b, _timed_scan_zq
     from .io import bed, codec
     from .ops.dgemm import packed_matmul
     from .ops.grm import packed_crossprod
@@ -98,27 +103,12 @@ def cmd_bench(args) -> int:
     rng = np.random.default_rng(args.seed)
     b = jnp.asarray(rng.standard_normal((args.snps, args.ncol)), jnp.float32)
 
-    def timed_scan(fn, iters=8):
-        @jax.jit
-        def many(*a):
-            def body(c, _):
-                out = fn(*a)
-                return c * (1 + out[0, 0] * 1e-30), None
-            c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=iters)
-            return c
-        float(many(*a_args))  # warm
-        t0 = time.time()
-        float(many(*a_args))
-        return (time.time() - t0) / iters
-
-    a_args = (zqd, b)
-    per = timed_scan(lambda z, bb: packed_matmul(z, bb))
+    per = _timed_scan_b(lambda z, bb: packed_matmul(z, bb), zqd, b, iters=8)
     ops = args.snps * args.indiv * args.ncol / per
     print(f"dgemm:  {per * 1e3:8.2f} ms  {ops / 1e12:6.2f} T geno-col-ops/s")
 
     if args.grm:
-        a_args = (zqd,)
-        per = timed_scan(lambda z: packed_crossprod(z), iters=2)
+        per = _timed_scan_zq(lambda z: packed_crossprod(z), zqd, iters=2)
         flops = 2.0 * args.indiv ** 2 * args.snps
         print(f"GRM:    {per * 1e3:8.2f} ms  {flops / per / 1e12:6.1f} TFLOP/s")
     print(t.report())

@@ -116,8 +116,14 @@ def _dec_one_bit(buf, indiv, snps):
 
 def _enc_three_bit(g):
     # 3-bit fields, 2 per byte (reference ThreeBit is variant-64-only and
-    # packs 21 codes per 64-bit unit; byte-granular here).
+    # packs 21 codes per 64-bit unit; byte-granular here).  Missing (3)
+    # stores as code 4 so it round-trips distinctly from genotype values.
     return _pack_bits(np.where(g == 3, 4, g).T.astype(np.uint16), 4).T
+
+
+def _dec_three_bit(buf, indiv, snps):
+    vals = _dec_four_bit(buf, indiv, snps)
+    return np.where(vals == 4, np.uint8(3), vals).astype(np.uint8)
 
 
 def _enc_four_bit(g):
@@ -215,7 +221,7 @@ def _enc_four_byte_haplo(h):
 _CODECS: Dict[Coding, Tuple[Callable, Callable]] = {
     Coding.ONE_BIT: (_enc_one_bit, _dec_one_bit),
     Coding.TWO_BIT: (_enc_two_bit, _dec_two_bit),
-    Coding.THREE_BIT: (_enc_three_bit, _dec_four_bit),
+    Coding.THREE_BIT: (_enc_three_bit, _dec_three_bit),
     Coding.PLINK: (_enc_plink, _dec_plink),
     Coding.FIVE_CODES: (_enc_five_codes, _dec_five_codes),
     Coding.FOUR_BIT: (_enc_four_bit, _dec_four_bit),

@@ -204,8 +204,11 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
 
     g = from_bed(bed_path)
     geno, _ = bedio.read_bed_genotypes(bed_path)
-    fam = open(bed_path[:-4] + ".fam").read().split()
-    pheno_col = np.array(fam[5::6], dtype=object)
+    # phenotype = 6th whitespace column of each .fam line (parse per line:
+    # extra columns or odd spacing must not shift the stride)
+    with open(bed_path[:-4] + ".fam") as fh:
+        pheno_col = np.array([ln.split()[5] for ln in fh if ln.strip()],
+                             dtype=object)
     bv_true = None
     try:
         y = pheno_col.astype(np.float64)

@@ -214,11 +214,6 @@ def unpack_planar16(words: np.ndarray, rows: int, cols: int) -> np.ndarray:
     return dense[:rows, :cols]
 
 
-def pad_rhs_planar16(b: np.ndarray, cols: int, kw: int) -> np.ndarray:
-    """Reshape the dense RHS B [cols, n] to the plane-major layout
-    [16, Kw, n] expected by the packed-matmul kernel (zero padded)."""
-    b = np.asarray(b)
-    n = b.shape[1]
-    out = np.zeros((16 * kw, n), dtype=b.dtype)
-    out[:cols] = b
-    return out.reshape(16, kw, n)
+# (RHS preparation for the packed matmul lives in ops.dgemm._reorder_rhs —
+# the kernel needs the tile-major, plane-scaled layout, not a plain
+# plane-major reshape.)

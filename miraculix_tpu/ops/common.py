@@ -65,10 +65,18 @@ def decode_planar16_scaled(words: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
 
 
 def pick_tile(dim: int, preferred: int, minimum: int) -> int:
-    """Largest power-of-two tile <= preferred that divides ``dim``."""
+    """Largest power-of-two tile <= preferred that divides ``dim``.
+
+    Raises when no divisor >= ``minimum`` exists: a non-dividing tile would
+    make the kernel grid floor-truncate the axis and silently drop data.
+    (All library packings pad to multiples of 256, so this only fires on
+    hand-built buffers with unaligned padding.)
+    """
     t = preferred
     while t >= minimum:
         if dim % t == 0:
             return t
         t //= 2
-    return minimum
+    raise ValueError(
+        f"axis of {dim} has no power-of-two tile divisor >= {minimum}; "
+        f"repack with row padding to a multiple of {minimum}")

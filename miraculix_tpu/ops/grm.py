@@ -231,9 +231,26 @@ def ld(
     m = m.astype(dtype)
     f = g.freq.astype(dtype)
     m = m - (4.0 * n) * f[:, None] * f[None, :]
-    sigma = jnp.sqrt(jnp.diagonal(m))
+    # guard degenerate SNPs: monomorphic (zero variance) or missing-heavy
+    # (freq excludes missing while the crossproduct counted them as 0,
+    # which can drive the diagonal slightly negative) — divide by 1 there
+    # instead of emitting NaN rows.
+    diag = jnp.maximum(jnp.diagonal(m), 0.0)
+    sigma = jnp.where(diag > 0, jnp.sqrt(diag), 1.0)
     m = m / sigma[:, None] / sigma[None, :]
     return m
+
+
+def _row_block_fn(zq, rb: int):
+    """Row-block slicer for out-of-core loops: returns block i of ``rb``
+    packed rows (device or host source), zero-padding a ragged last block."""
+    def block(i):
+        sl = zq[i * rb: (i + 1) * rb]
+        if sl.shape[0] == rb:
+            return jnp.asarray(sl)
+        return jnp.zeros((rb, zq.shape[1]), jnp.uint32).at[: sl.shape[0]].set(
+            jnp.asarray(sl))
+    return block
 
 
 def grm_blocked(
@@ -267,7 +284,6 @@ def grm_blocked(
     # -- resolve the source to (row-sliceable packed zq_n, indiv, snps, freq)
     if isinstance(source, GenoMatrix):
         zq, indiv, freq = source.zq_n, source.indiv, np.asarray(source.freq)
-        dev_resident = True
     else:
         if isinstance(source, str):
             from ..io import bed, codec as _codec
@@ -291,7 +307,6 @@ def grm_blocked(
             indiv = dense.shape[0]
             freq = _codec.allele_freq(dense)
             zq = _codec.pack_planar16(dense, row_mult=256)
-        dev_resident = False
 
     rows_pad = zq.shape[0]
     rb = max(512, (row_block // 512) * 512)
@@ -300,17 +315,7 @@ def grm_blocked(
     if out is None:
         out = np.zeros((indiv, indiv), dtype=np.float32)
 
-    def block(i):
-        sl = zq[i * rb: (i + 1) * rb]
-        if sl.shape[0] < rb:  # ragged last block: pad rows
-            slp = np.zeros((rb, zq.shape[1]),
-                           dtype=np.uint32) if not dev_resident else None
-            if dev_resident:
-                return jnp.zeros((rb, zq.shape[1]), jnp.uint32
-                                 ).at[: sl.shape[0]].set(sl)
-            slp[: sl.shape[0]] = np.asarray(sl)
-            return jnp.asarray(slp)
-        return jnp.asarray(sl)
+    block = _row_block_fn(zq, rb)
 
     for i in range(nb):
         zi = block(i)
@@ -364,11 +369,7 @@ def ld_blocked(
         out = np.zeros((snps, snps), dtype=np.float32)
     f = np.asarray(g.freq, dtype=np.float64)
 
-    def block(i):
-        sl = zq[i * rb: (i + 1) * rb]
-        if sl.shape[0] < rb:
-            return jnp.zeros((rb, zq.shape[1]), zq.dtype).at[: sl.shape[0]].set(sl)
-        return sl
+    block = _row_block_fn(zq, rb)
 
     for i in range(nb):
         r0, r1 = i * rb, min((i + 1) * rb, snps)
@@ -387,8 +388,8 @@ def ld_blocked(
             out[r0:r1, c0:c1] = tile
             if j > i:
                 out[c0:c1, r0:r1] = tile.T
-    sigma = np.sqrt(np.diag(out).copy())
-    sigma[sigma == 0] = 1.0
+    diag = np.maximum(np.diag(out).copy(), 0.0)  # see ld(): degenerate SNPs
+    sigma = np.where(diag > 0, np.sqrt(diag), 1.0)
     out /= sigma[None, :]
     out /= sigma[:, None]
     return out

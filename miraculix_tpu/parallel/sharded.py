@@ -384,17 +384,26 @@ def save_sharded(path: str, sg: ShardedGeno) -> None:
 
 
 def load_sharded(path: str, mesh: Mesh) -> ShardedGeno:
-    """Inverse of :func:`save_sharded`; the mesh may have a different device
-    count as long as it divides the stored per-device padding evenly."""
+    """Inverse of :func:`save_sharded`.
+
+    The mesh must have the SAME device count the panel was saved with:
+    ``zq_n`` is a concatenation of per-device planar16 packings (each
+    plane-major within its own kw_local block), so splitting it differently
+    would scramble the plane-to-SNP mapping that the wide matmul's RHS
+    reorder assumes.  To change device counts, re-shard from the .bed or
+    dense source."""
     z = np.load(path)
     axis = str(z["axis"])
     d = mesh.shape[axis]
+    spd = int(z["spd"])
     total = z["zq_t"].shape[0]
-    if total % d:
+    if total != d * spd:
         raise ValueError(
-            f"stored panel ({total} padded snps) does not split over {d} devices")
+            f"panel was sharded over {total // spd} devices; it can only be "
+            f"reloaded onto a {total // spd}-device mesh (got {d}) — "
+            "re-shard from source to change device counts")
     return ShardedGeno(
-        snps=int(z["snps"]), indiv=int(z["indiv"]), spd=total // d, axis=axis,
+        snps=int(z["snps"]), indiv=int(z["indiv"]), spd=spd, axis=axis,
         zq_n=jax.device_put(z["zq_n"], NamedSharding(mesh, P(None, axis))),
         zq_t=jax.device_put(z["zq_t"], NamedSharding(mesh, P(axis, None))),
         freq=jax.device_put(z["freq"], NamedSharding(mesh, P(axis))),

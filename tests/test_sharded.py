@@ -108,8 +108,12 @@ def test_save_load_sharded(tmp_path, rng):
     sg = parallel.shard_genotypes(g, mesh)
     p = str(tmp_path / "panel.npz")
     save_sharded(p, sg)
-    sg2 = load_sharded(p, parallel.make_mesh(4))  # different device count
-    b = rng.standard_normal((700, 2)).astype(np.float32)
+    sg2 = load_sharded(p, parallel.make_mesh(8))
+    # wide path (n > 64) exercises the per-device packing structure that a
+    # different-device-count reload would scramble
+    b = rng.standard_normal((700, 72)).astype(np.float32)
     c1 = np.asarray(parallel.sharded_dgemm(sg, b, trans="n"))
     c2 = np.asarray(parallel.sharded_dgemm(sg2, b, trans="n"))
     np.testing.assert_allclose(c1, c2, atol=1e-4)
+    with pytest.raises(ValueError):
+        load_sharded(p, parallel.make_mesh(4))  # device count must match
