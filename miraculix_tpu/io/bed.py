@@ -75,6 +75,27 @@ def read_bed_payload(path: str):
     return payload.reshape(n_snps, nbytes), n_snps, n_indiv
 
 
+def read_bed_slice_payload(path: str, snp_start: int, snp_end: int):
+    """Like :func:`read_bed_slice` but UNtransposed: returns ``(payload,
+    n_snps, n_indiv)`` with ``payload`` uint8 [snp_end-snp_start,
+    ceil(indiv/4)] — the raw disk-order slice, ready for the fused native
+    ingestion of one SNP shard."""
+    fam = path[:-4] + ".fam"
+    bim = path[:-4] + ".bim"
+    n_indiv = _count_lines(fam)
+    n_snps = _count_lines(bim)
+    snp_end = min(snp_end, n_snps)
+    snp_start = min(max(snp_start, 0), snp_end)
+    nbytes = (n_indiv + 3) // 4
+    with open(path, "rb") as fh:
+        if fh.read(3) != BED_MAGIC:
+            raise ValueError("not a valid .bed file (bad magic bytes)")
+        fh.seek(3 + snp_start * nbytes)
+        payload = np.frombuffer(fh.read((snp_end - snp_start) * nbytes),
+                                dtype=np.uint8)
+    return payload.reshape(snp_end - snp_start, nbytes), n_snps, n_indiv
+
+
 def read_bed_slice(path: str, snp_start: int, snp_end: int):
     """Read only the SNP range [snp_start, snp_end) of a .bed fileset.
 

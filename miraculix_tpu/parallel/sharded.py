@@ -151,42 +151,76 @@ def shard_genotypes_from_bed(
     axis: str = "k",
     row_mult: int = 256,
 ) -> ShardedGeno:
-    """Multi-host ingestion: build a ShardedGeno by reading each device's
-    SNP range straight from the .bed file (io.bed.read_bed_slice) — no
-    process ever holds the full dense panel.  On a real multi-host pod each
-    host executes only its own slices (addressable devices)."""
+    """Multi-host ingestion: build a ShardedGeno where EACH PROCESS reads
+    and packs only the SNP ranges of its own addressable devices
+    (``jax.make_array_from_callback`` + ``io.bed.read_bed_slice_payload``)
+    — no process ever touches the full panel, and each shard goes through
+    the fused native ingestion when available."""
     from ..io import bed as bedio
+    from ..io import native as _native
 
     d = mesh.shape[axis]
-    # probe dims from companions
     n_indiv = bedio._count_lines(path[:-4] + ".fam")
     n_snps = bedio._count_lines(path[:-4] + ".bim")
     spd = _round_up(-(-n_snps // d), 2048)
+    kw_local = spd // 16
+    ipad = codec.round_up(n_indiv, row_mult)
+    kw_indiv = codec.round_up(max((n_indiv + 15) // 16, 1), codec.LANE)
 
-    n_blocks, t_blocks, fsums = [], [], []
-    for i in range(d):
-        plink, _, _ = bedio.read_bed_slice(path, i * spd, (i + 1) * spd)
-        sl = codec.plink_to_dense(plink, n_indiv)  # [indiv, <=spd]
-        pad = np.zeros((n_indiv, spd), dtype=np.uint8)
-        pad[:, : sl.shape[1]] = np.where(sl == 3, 0, sl)
-        n_blocks.append(codec.pack_planar16(pad, row_mult=row_mult))
-        t_blocks.append(codec.pack_planar16(
-            np.ascontiguousarray(pad.T), row_mult=8))
-        fpart = np.zeros(spd, dtype=np.float32)
-        fpart[: sl.shape[1]] = codec.allele_freq(sl, axis=0)
-        fsums.append(fpart)
-    freq_pad = (np.concatenate(fsums) if freq is None else
-                np.concatenate([np.asarray(freq, np.float32),
-                                np.zeros(d * spd - n_snps, np.float32)]))
+    cache = {}
+
+    def shard_pack(s0: int):
+        """(zq_n block [ipad, kw_local], zq_t block [spd, kw_indiv], freq
+        [spd]) for the SNP range starting at s0 — one disk read, cached so
+        the three make_array callbacks share it."""
+        if s0 in cache:
+            return cache[s0]
+        payload, _, _ = bedio.read_bed_slice_payload(path, s0, s0 + spd)
+        width = payload.shape[0]
+        nat = None
+        if width and _native.get_lib() is not None and hasattr(
+                _native.get_lib(), "mx_bed_ingest"):
+            nat = _native.bed_ingest(payload, width, n_indiv,
+                                     spd, kw_indiv, ipad, kw_local)
+        if nat is not None:
+            zqt, zqn, fr, _ = nat
+            fpad = np.zeros(spd, dtype=np.float32)
+            fpad[:width] = fr
+        else:
+            sl = codec.plink_to_dense(np.ascontiguousarray(payload.T),
+                                      n_indiv) if width else \
+                np.zeros((n_indiv, 0), np.uint8)
+            pad = np.zeros((n_indiv, spd), dtype=np.uint8)
+            pad[:, :width] = np.where(sl == 3, 0, sl)
+            zqn = codec.pack_planar16(pad, row_mult=row_mult)
+            zqt = codec.pack_planar16(np.ascontiguousarray(pad.T), row_mult=8)
+            fpad = np.zeros(spd, dtype=np.float32)
+            fpad[:width] = codec.allele_freq(sl, axis=0)
+        cache[s0] = (zqn, zqt, fpad)
+        return cache[s0]
 
     sh1 = NamedSharding(mesh, P(None, axis))
     sh0 = NamedSharding(mesh, P(axis, None))
     shf = NamedSharding(mesh, P(axis))
+
+    zq_n = jax.make_array_from_callback(
+        (ipad, d * kw_local), sh1,
+        lambda idx: shard_pack((idx[1].start or 0) // kw_local * spd)[0])
+    zq_t = jax.make_array_from_callback(
+        (d * spd, kw_indiv), sh0,
+        lambda idx: shard_pack(idx[0].start or 0)[1])
+    if freq is None:
+        freq_arr = jax.make_array_from_callback(
+            (d * spd,), shf,
+            lambda idx: shard_pack(idx[0].start or 0)[2])
+    else:
+        fpad = np.zeros(d * spd, np.float32)
+        fpad[:n_snps] = np.asarray(freq, np.float32)
+        freq_arr = jax.device_put(fpad, shf)
+
     return ShardedGeno(
         snps=n_snps, indiv=n_indiv, spd=spd, axis=axis,
-        zq_n=jax.device_put(np.concatenate(n_blocks, axis=1), sh1),
-        zq_t=jax.device_put(np.concatenate(t_blocks, axis=0), sh0),
-        freq=jax.device_put(freq_pad, shf),
+        zq_n=zq_n, zq_t=zq_t, freq=freq_arr,
     )
 
 
