@@ -40,6 +40,7 @@ class Coding(enum.Enum):
     TWO_BIT_HAPLO = "two_bit_haplo"
     ONE_BYTE_HAPLO = "one_byte_haplo"
     FOUR_BYTE_HAPLO = "four_byte_haplo"
+    EIGHT_BYTE_HAPLO = "eight_byte_haplo"  # two int32 planes (allele1, allele2)
 
 
 GENO_CODINGS = {
@@ -49,7 +50,7 @@ GENO_CODINGS = {
 }
 HAPLO_CODINGS = {
     Coding.ONE_BIT_HAPLO, Coding.TWO_BIT_HAPLO, Coding.ONE_BYTE_HAPLO,
-    Coding.FOUR_BYTE_HAPLO,
+    Coding.FOUR_BYTE_HAPLO, Coding.EIGHT_BYTE_HAPLO,
 }
 
 
@@ -218,6 +219,22 @@ def _enc_four_byte_haplo(h):
     return np.asarray(h, dtype=np.int32).T.copy()
 
 
+def _enc_eight_byte_haplo(h):
+    """Two stacked int32 planes (allele1 block then allele2 block) —
+    reference EightByteHaplo (Haplo.h): one 4-byte int per allele."""
+    h = np.asarray(h)
+    a1 = (h & 1).astype(np.int32).T
+    a2 = ((h >> 1) & 1).astype(np.int32).T
+    return np.concatenate([a1, a2], axis=0).copy()
+
+
+def _dec_eight_byte_haplo(buf, indiv, snps):
+    half = buf.shape[0] // 2
+    a1 = buf[:half].T[:indiv].astype(np.uint8)
+    a2 = buf[half:].T[:indiv].astype(np.uint8)
+    return (a1 + 2 * a2).astype(np.uint8)
+
+
 _CODECS: Dict[Coding, Tuple[Callable, Callable]] = {
     Coding.ONE_BIT: (_enc_one_bit, _dec_one_bit),
     Coding.TWO_BIT: (_enc_two_bit, _dec_two_bit),
@@ -232,6 +249,7 @@ _CODECS: Dict[Coding, Tuple[Callable, Callable]] = {
     Coding.TWO_BIT_HAPLO: (_enc_two_bit_haplo, _dec_two_bit_haplo),
     Coding.ONE_BYTE_HAPLO: (_enc_one_byte_haplo, _dec_one_byte),
     Coding.FOUR_BYTE_HAPLO: (_enc_four_byte_haplo, _dec_four_byte),
+    Coding.EIGHT_BYTE_HAPLO: (_enc_eight_byte_haplo, _dec_eight_byte_haplo),
 }
 
 

@@ -104,7 +104,8 @@ def test_rhaplomatrix_frequencies():
 @pytest.mark.parametrize("coding", [Coding.ONE_BIT_HAPLO,
                                     Coding.TWO_BIT_HAPLO,
                                     Coding.ONE_BYTE_HAPLO,
-                                    Coding.FOUR_BYTE_HAPLO])
+                                    Coding.FOUR_BYTE_HAPLO,
+                                    Coding.EIGHT_BYTE_HAPLO])
 def test_haplo_coding_roundtrip(coding):
     m = formats.rhaplomatrix(np.full(40, 0.4), indiv=25, seed=3,
                              coding=Coding.TWO_BIT_HAPLO)
