@@ -105,6 +105,12 @@ def packed_crossprod(
     and mirrors with one elementwise pass.
     """
     rows, kw = zq.shape
+    if 4 * 16 * kw >= 2 ** 31:
+        # int32 accumulator capacity (the analogue of the reference's f64
+        # exactness guard snps*n^2*4 <= 2^52, haplogeno.cc:742-744)
+        raise ValueError(
+            f"{16 * kw} packed SNP columns could overflow the exact int32 "
+            "accumulator (limit ~536M); chunk the SNP axis and sum partials")
     tile_m = pick_tile(rows, tile_m, 8)
     tile_kw = pick_tile(kw, tile_kw, 128)
     nt = rows // tile_m
