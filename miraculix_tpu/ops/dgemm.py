@@ -98,6 +98,24 @@ def _pmm_tall_kernel(bt_ref, zq_ref, out_ref):
         out_ref[...] = out_ref[...] + prod
 
 
+def _pmm_kernel_bf16(zq_ref, b_ref, out_ref):
+    """acc += decode(zq) @ bf16(b): the single-pass speed tier (~2e-3
+    relative error from rounding B once; the genotype operand stays exact).
+    Half the MXU work of the split tier — for iterative solvers that
+    recompute residuals, and screening passes."""
+    k = pl.program_id(1)
+    d = decode_planar16_scaled(zq_ref[...], jnp.bfloat16)
+    prod = jnp.dot(d, b_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[...] = prod
+
+    @pl.when(k != 0)
+    def _acc():
+        out_ref[...] = out_ref[...] + prod
+
+
 def _pmm_kernel_f32(zq_ref, b_ref, out_ref):
     """acc += decode(zq) @ b in f32 at HIGHEST matmul precision."""
     k = pl.program_id(1)
@@ -143,7 +161,8 @@ def _reorder_rhs(b: jax.Array, cols: int, kw: int, tile_kw: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_r", "tile_kw", "split", "interpret")
+    jax.jit,
+    static_argnames=("tile_r", "tile_kw", "split", "single_bf16", "interpret"),
 )
 def packed_matmul(
     zq: jax.Array,
@@ -152,12 +171,14 @@ def packed_matmul(
     tile_r: int = DEFAULT_TILE_R,
     tile_kw: int = DEFAULT_TILE_KW,
     split: bool = True,
+    single_bf16: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Raw product decode(zq) @ B_padded -> f32 [rows_pad, n].
 
     ``zq``: int32 planar16 [rows_pad, kw]; ``b``: [cols, n] real matrix where
-    cols <= 16*kw (padded internally).  No centering.
+    cols <= 16*kw (padded internally).  No centering.  ``single_bf16``
+    overrides ``split``: one bf16 pass, ~2e-3 relative (the speed tier).
     """
     rows, kw = zq.shape
     cols, n = b.shape
@@ -183,6 +204,17 @@ def packed_matmul(
         dimension_semantics=("parallel", "arbitrary"),
     )
 
+    if single_bf16:
+        return pl.pallas_call(
+            _pmm_kernel_bf16,
+            grid=grid,
+            in_specs=[zq_spec, b_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            compiler_params=params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(zq, b2.astype(jnp.bfloat16))
     if split:
         # NB: must use reduce_precision, not astype(bf16).astype(f32) — XLA's
         # allow-excess-precision pass elides downcast/upcast pairs and would
@@ -219,7 +251,7 @@ TALL_TILE_KW = 128
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_s", "tile_kw", "interpret")
+    jax.jit, static_argnames=("tile_s", "tile_kw", "single_bf16", "interpret")
 )
 def packed_matmul_tall(
     zq_other: jax.Array,
@@ -227,6 +259,7 @@ def packed_matmul_tall(
     *,
     tile_s: int = TALL_TILE_S,
     tile_kw: int = TALL_TILE_KW,
+    single_bf16: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """decode(zq_other)ᵀ @ B computed TRANSPOSED: Cᵀ = Bᵀ @ decode(zq_other).
@@ -248,11 +281,15 @@ def packed_matmul_tall(
     bpad = jnp.zeros((spad, n), jnp.float32).at[:contract].set(
         b.astype(jnp.float32))
     bt = bpad.T
-    bhi_f32 = jax.lax.reduce_precision(bt, exponent_bits=8, mantissa_bits=7)
-    bhi = bhi_f32.astype(jnp.bfloat16)
-    blo = (bt - bhi_f32).astype(jnp.bfloat16)
-    bcat = jnp.concatenate([bhi, blo], axis=0)        # [2n, spad]
-    rows2 = 2 * n
+    if single_bf16:
+        bcat = bt.astype(jnp.bfloat16)                # [n, spad]
+        rows2 = n
+    else:
+        bhi_f32 = jax.lax.reduce_precision(bt, exponent_bits=8, mantissa_bits=7)
+        bhi = bhi_f32.astype(jnp.bfloat16)
+        blo = (bt - bhi_f32).astype(jnp.bfloat16)
+        bcat = jnp.concatenate([bhi, blo], axis=0)    # [2n, spad]
+        rows2 = 2 * n
     rows_pad = max(16, ((rows2 + 15) // 16) * 16)     # bf16 sublane granule
     if rows_pad != rows2:
         bcat = jnp.zeros((rows_pad, spad), jnp.bfloat16).at[:rows2].set(bcat)
@@ -279,7 +316,7 @@ def packed_matmul_tall(
         cost_estimate=cost,
         interpret=interpret,
     )(bcat, zq_other)
-    ct = out[:n] + out[n:rows2]   # merge hi/lo halves -> [n, 16*kwi]
+    ct = out[:n] if single_bf16 else out[:n] + out[n:rows2]  # merge hi/lo
     # undo the mask-only decode's 4^m plane factor and restore natural
     # column order: block i holds (plane m, word t) at i*16*tkw + m*tkw + t;
     # the natural position is m*kwi + i*tkw + t.
@@ -412,18 +449,23 @@ def dgemm(
         )
 
     zq_other = g.zq_t if trans == "n" else g.zq_n
+    tall_limit = 128 if precision == "bf16" else 64  # streamed rows = n vs 2n
     if precision == "f64":
         c = packed_matmul_f64(
             zq, b, tile_r=tile_r, tile_kw=tile_kw, split=True,
             interpret=interpret,
         )
-    elif precision == "fast" and b.shape[1] <= 64 and b.shape[0] <= zq_other.shape[0]:
+    elif (precision in ("fast", "bf16") and b.shape[1] <= tall_limit
+          and b.shape[0] <= zq_other.shape[0]):
         # skinny RHS: tall transposed schedule (see _pmm_tall_kernel)
-        c = packed_matmul_tall(zq_other, b, interpret=interpret)
+        c = packed_matmul_tall(zq_other, b,
+                               single_bf16=(precision == "bf16"),
+                               interpret=interpret)
     else:
         c = packed_matmul(
             zq, b, tile_r=tile_r, tile_kw=tile_kw,
-            split=(precision == "fast"), interpret=interpret,
+            split=(precision == "fast"),
+            single_bf16=(precision == "bf16"), interpret=interpret,
         )
     c = c[:rows]
 

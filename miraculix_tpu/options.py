@@ -27,6 +27,8 @@ class Options:
       kernel on CPU backends).  Replaces ``use_gpu``.
     - precision: "fast"  = bf16-split RHS, f32 accumulate (default; exact for
                   the genotype operand, ~f32 overall),
+                 "bf16"  = ONE bf16 pass, ~2e-3 relative (2x the fast tier's
+                  speed; for iterative solvers and screening),
                  "f32"   = f32 operands, HIGHEST matmul precision,
                  "f64"   = K-chunked float64 outer accumulation on top of the
                   fast kernel (for 1e-4-grade tolerances on >100k-SNP axes).

@@ -20,7 +20,8 @@ from .formats import transform as _transform
 from .formats import zero_geno as _zero_geno
 from .formats.haplo import rhaplomatrix as _rhaplomatrix
 from .io import codec
-from .mobps import compute_relationship, compute_snps  # noqa: F401 (re-export)
+from .mobps import (code_origins, compute_relationship,  # noqa: F401
+                    compute_snps, decode_origins)
 from .solve.dense import solve_relmat as _solve_relmat
 
 
@@ -126,6 +127,52 @@ rhaplomatrix = _rhaplomatrix
 solveRelMat = _solve_relmat
 computeSNPS = compute_snps
 compute = compute_relationship
+codeOrigins = code_origins
+decodeOrigins = decode_origins
+
+
+# ---------------------------------------------------------------------------
+# options / debug / user centering state (``copyoptions``, ``Debug``,
+# ``StopDebug``, ``get_centered`` — zzzR.c:93,111-112,116)
+# ---------------------------------------------------------------------------
+
+_USER_CENTERING: Optional[np.ndarray] = None
+
+
+def copy_options():
+    """``copyoptions``: snapshot of the latched global options."""
+    import dataclasses
+
+    from .options import get_global_options
+
+    return dataclasses.replace(get_global_options())
+
+
+def debug() -> None:
+    """``Debug``: raise verbosity (reference toggles Cprintlevel)."""
+    import os
+
+    os.environ["MIRACULIX_TPU_PRINT_LEVEL"] = "3"
+
+
+def stop_debug() -> None:
+    """``StopDebug``."""
+    import os
+
+    os.environ["MIRACULIX_TPU_PRINT_LEVEL"] = "0"
+
+
+def set_centered(vector: Optional[np.ndarray]) -> None:
+    """Store the User centering vector (reference RFoptions
+    genetics.centered=User path, options.R.cc:203)."""
+    global _USER_CENTERING
+    _USER_CENTERING = None if vector is None else np.asarray(vector,
+                                                             np.float64)
+
+
+def get_centered() -> Optional[np.ndarray]:
+    """``get_centered``: the stored User centering vector."""
+    return _USER_CENTERING
 
 
 # ---------------------------------------------------------------------------
@@ -148,3 +195,20 @@ def exists_variant(variant: int) -> bool:
 
 def exists_crossprod(coding: Coding) -> bool:
     return exists_coding(coding)
+
+
+def exists_allele_freq(coding: Coding) -> bool:
+    """``existsAllelefreq``: every decodable coding supports freq here."""
+    return exists_coding(coding)
+
+
+def exists_tiling(rows: int, preferred: int = 512, minimum: int = 8) -> bool:
+    """``existsTiling`` analogue: can the kernel tile this axis?
+    (reference gates coding x variant tiling combos, options.cc)."""
+    from .ops.common import pick_tile
+
+    try:
+        pick_tile(rows, preferred, minimum)
+        return True
+    except ValueError:
+        return False

@@ -150,3 +150,20 @@ def test_freq_cache_family(rng):
     assert abs(float(gm.total_sum()) - gd.sum()) < 1e-2
     pf = ref_impl.allele_freq_oracle(g, axis=1)
     np.testing.assert_allclose(np.asarray(gm.pseudo_freq), pf, atol=1e-6)
+
+
+@pytest.mark.parametrize("trans", ["n", "t"])
+@pytest.mark.parametrize("n", [4, 200])   # tall and wide schedules
+def test_dgemm_bf16_tier(rng, trans, n):
+    """precision='bf16': single-pass speed tier, ~2e-3 relative."""
+    g = _panel(rng, 90, 500)
+    gm = mx.from_dense(g)
+    rows_b = 500 if trans == "n" else 90
+    b = rng.standard_normal((rows_b, n))
+    c = np.asarray(mx.dgemm(gm, b, trans=trans, precision="bf16"))
+    want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64),
+                                 trans=trans)
+    scale = max(1.0, np.abs(want).max())
+    err = np.abs(c - want).max() / scale
+    assert err < 2e-2            # bf16 tier tolerance
+    assert err > 1e-7            # and it really is the low tier, not split
