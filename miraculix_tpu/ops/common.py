@@ -80,3 +80,13 @@ def pick_tile(dim: int, preferred: int, minimum: int) -> int:
     raise ValueError(
         f"axis of {dim} has no power-of-two tile divisor >= {minimum}; "
         f"repack with row padding to a multiple of {minimum}")
+
+
+def call32(pallas_callable, *args):
+    """Invoke a pallas_call under 32-bit mode: Pallas trace machinery emits
+    i64 scalars when jax_enable_x64 is on, which Mosaic cannot legalize
+    (observed: 'failed to legalize operation func.return (i32, i64)' via the
+    remote compiler).  All kernels here are dtype-explicit, so tracing them
+    in 32-bit mode never changes results."""
+    with jax.enable_x64(False):
+        return pallas_callable(*args)

@@ -39,8 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geno import GenoMatrix
-from .common import (PLANE_SCALES, decode_planar16_scaled, on_cpu,
-                     pick_tile)
+from .common import (PLANE_SCALES, call32, decode_planar16_scaled,
+                     on_cpu, pick_tile)
 
 DEFAULT_TILE_R = 1024  # swept on v5e: 1024x256 -> 23.4 Tops/s at ncol=32,
 DEFAULT_TILE_KW = 256  # ~95% of the N-padded MXU roofline (256 words = 4096
@@ -205,7 +205,7 @@ def packed_matmul(
     )
 
     if single_bf16:
-        return pl.pallas_call(
+        return call32(pl.pallas_call(
             _pmm_kernel_bf16,
             grid=grid,
             in_specs=[zq_spec, b_spec],
@@ -214,7 +214,7 @@ def packed_matmul(
             compiler_params=params,
             cost_estimate=cost,
             interpret=interpret,
-        )(zq, b2.astype(jnp.bfloat16))
+        ), zq, b2.astype(jnp.bfloat16))
     if split:
         # NB: must use reduce_precision, not astype(bf16).astype(f32) — XLA's
         # allow-excess-precision pass elides downcast/upcast pairs and would
@@ -224,7 +224,7 @@ def packed_matmul(
         blo = (b2 - bhi_f32).astype(jnp.bfloat16)
         bcat = jnp.concatenate([bhi, blo], axis=1)
         bcat_spec = pl.BlockSpec((16 * tile_kw, 2 * n), lambda r, k: (k, 0))
-        return pl.pallas_call(
+        return call32(pl.pallas_call(
             functools.partial(_pmm_kernel_split, n=n),
             grid=grid,
             in_specs=[zq_spec, bcat_spec],
@@ -233,8 +233,8 @@ def packed_matmul(
             compiler_params=params,
             cost_estimate=cost,
             interpret=interpret,
-        )(zq, bcat)
-    return pl.pallas_call(
+        ), zq, bcat)
+    return call32(pl.pallas_call(
         _pmm_kernel_f32,
         grid=grid,
         in_specs=[zq_spec, b_spec],
@@ -243,7 +243,7 @@ def packed_matmul(
         compiler_params=params,
         cost_estimate=cost,
         interpret=interpret,
-    )(zq, b2)
+    ), zq, b2)
 
 
 TALL_TILE_S = 512    # swept on v5e at 65536x4096 ncol=32: 512x128 -> 44 Tops/s
@@ -301,7 +301,7 @@ def packed_matmul_tall(
         + rows_pad * 16 * kwi * 4,
         transcendentals=0,
     )
-    out = pl.pallas_call(
+    out = call32(pl.pallas_call(
         _pmm_tall_kernel,
         grid=grid,
         in_specs=[
@@ -315,7 +315,7 @@ def packed_matmul_tall(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(bcat, zq_other)
+    ), bcat, zq_other)
     ct = out[:n] if single_bf16 else out[:n] + out[n:rows2]  # merge hi/lo
     # undo the mask-only decode's 4^m plane factor and restore natural
     # column order: block i holds (plane m, word t) at i*16*tkw + m*tkw + t;
@@ -336,42 +336,46 @@ def packed_matmul_f64(
     chunk_kw: int = 1024,
     **kw_args,
 ) -> jax.Array:
-    """packed_matmul with f32-pair RHS splitting and float64 outer
+    """packed_matmul with f32-pair RHS splitting and HOST float64 outer
     accumulation over contraction chunks.
 
     B is split into an exact float32 hi/lo pair (48 mantissa bits — B's
     representation error drops to ~1e-14 relative); each chunk of
     ``chunk_kw`` packed words (= 16*chunk_kw genotype columns) runs through
-    the HIGHEST-precision f32 kernel and partials are summed in float64.
-    Total relative error ~= 2^-24 * sqrt(16*chunk_kw) ~ 1e-5, independent of
-    the total SNP count — the TPU counterpart of the reference's double /
-    long-double accumulators (Vector.matrix.D.cc:42-229, CUTLASS f64 SIMT
-    path dgemm_compressed_cuda.h:111-698).  Requires jax_enable_x64 for a
-    true f64 result; without it the outer accumulation stays f32.
+    the HIGHEST-precision f32 kernel and partials are summed in float64 on
+    the host.  Total relative error ~= 2^-24 * sqrt(16*chunk_kw) ~ 1e-5,
+    independent of the total SNP count — the TPU counterpart of the
+    reference's double / long-double accumulators (Vector.matrix.D.cc:42-229,
+    CUTLASS f64 SIMT path dgemm_compressed_cuda.h:111-698).
+
+    Host-orchestrated (TPU hardware has no f64; device-side f64 emulation
+    fails to compile under the TPU backend): not usable inside jit.  The
+    result is float64 when jax_enable_x64 is on, else float32.
     """
+    import numpy as np
+
     kw_args.pop("split", None)
     rows, kw = zq.shape
     cols, n = b.shape
-    b64 = b.astype(jnp.float64)
-    # reduce_precision guards against XLA eliding the f64->f32->f64 pair
-    # (allow-excess-precision), which would fold b_lo to 0.
-    b_hi64 = jax.lax.reduce_precision(b64, exponent_bits=8, mantissa_bits=23)
-    b_hi = b_hi64.astype(jnp.float32)
-    b_lo = (b64 - b_hi64).astype(jnp.float32)
+    b64 = np.asarray(b, dtype=np.float64)
+    b_hi = b64.astype(np.float32)
+    b_lo = (b64 - b_hi.astype(np.float64)).astype(np.float32)
     # Pad once to the full plane-major row space; chunks slice plane columns.
-    full_hi = jnp.zeros((16 * kw, n), jnp.float32).at[:cols].set(b_hi)
-    full_lo = jnp.zeros((16 * kw, n), jnp.float32).at[:cols].set(b_lo)
-    acc = jnp.zeros((rows, n), jnp.float64)
+    full_hi = np.zeros((16 * kw, n), np.float32)
+    full_hi[:cols] = b_hi
+    full_lo = np.zeros((16 * kw, n), np.float32)
+    full_lo[:cols] = b_lo
+    acc = np.zeros((rows, n), np.float64)
     for c0 in range(0, kw, chunk_kw):
         c1 = min(c0 + chunk_kw, kw)
         # RHS rows matching word columns [c0, c1): planes at m*kw + c.
-        idx = (jnp.arange(16)[:, None] * kw + jnp.arange(c0, c1)[None, :]).reshape(-1)
+        idx = (np.arange(16)[:, None] * kw + np.arange(c0, c1)[None, :]).reshape(-1)
         for half in (full_hi, full_lo):
             partial = packed_matmul(
-                zq[:, c0:c1], half[idx], split=False, **kw_args
+                zq[:, c0:c1], jnp.asarray(half[idx]), split=False, **kw_args
             )
-            acc = acc + partial.astype(jnp.float64)
-    return acc
+            acc += np.asarray(partial, dtype=np.float64)
+    return jnp.asarray(acc)
 
 
 # ---------------------------------------------------------------------------

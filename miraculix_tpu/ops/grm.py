@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geno import GenoMatrix
-from .common import decode_planar16, on_cpu, pick_tile
+from .common import call32, decode_planar16, on_cpu, pick_tile
 
 # swept on v5e at 4096 indiv x 131072 snps: 512x512 -> 556 Tops/s-equiv
 # (tile_m=1024 overflows the 16MB scoped-VMEM stack); pick_tile degrades
@@ -122,7 +122,7 @@ def packed_crossprod(
         bytes_accessed=2 * rows * kw * 4 * nt + rows * rows * 4,
         transcendentals=0,
     )
-    w = pl.pallas_call(
+    w = call32(pl.pallas_call(
         _crossprod_tri_kernel if tri else _crossprod_kernel,
         grid=grid,
         in_specs=[
@@ -136,7 +136,7 @@ def packed_crossprod(
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(zq, zq)
+    ), zq, zq)
     if not tri:
         return w
     # mirror: M = W + Wᵀ − blockdiag(W)  (diagonal tiles were fully computed
@@ -167,7 +167,7 @@ def packed_crossprod_rect(
     tile_b = pick_tile(rows_b, tile_m, 8)
     grid = (rows_a // tile_a, rows_b // tile_b, kw // pick_tile(kw, tile_kw, 128))
     tkw = pick_tile(kw, tile_kw, 128)
-    return pl.pallas_call(
+    return call32(pl.pallas_call(
         _crossprod_kernel,
         grid=grid,
         in_specs=[
@@ -180,7 +180,7 @@ def packed_crossprod_rect(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(zq_a, zq_b)
+    ), zq_a, zq_b)
 
 
 def snp_crossprod(
