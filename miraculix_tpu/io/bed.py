@@ -179,6 +179,45 @@ def write_freq(path: str, freq: np.ndarray) -> None:
             fh.write(f"snp{i} {f:.10f}\n")
 
 
+def simulate_bed(
+    path: str,
+    n_indiv: int,
+    n_snps: int,
+    seed: int = 0,
+    chunk_snps: int = 65536,
+    maf_range: tuple[float, float] = (0.05, 0.5),
+) -> None:
+    """Write a simulated PLINK fileset of ARBITRARY size by streaming SNP
+    chunks to disk — the host never holds the dense panel (the reference
+    generates its xsmall..many_snps panels with `plink --simulate`,
+    utils/genotype_simulation_plink/Makefile:1-9; panels like 1M x 21K are
+    21 GB dense).  Per-chunk generation matches simulate_genotypes' HWE
+    model (chunked draws, so genotypes differ from the one-shot function)."""
+    if not path.endswith(".bed"):
+        raise ValueError("file must end in .bed")
+    rng = np.random.default_rng(seed)
+    with open(path, "wb") as fh:
+        fh.write(BED_MAGIC)
+        for s0 in range(0, n_snps, chunk_snps):
+            width = min(chunk_snps, n_snps - s0)
+            maf = rng.uniform(*maf_range, size=width)
+            u = rng.random((n_indiv, width), dtype=np.float32)
+            hom_ref = ((1.0 - maf) ** 2).astype(np.float32)
+            het = hom_ref + (2.0 * maf * (1.0 - maf)).astype(np.float32)
+            # genotype = #thresholds crossed: uint8 sums, no int64 temps
+            # (np.where with Python ints would allocate 8x-sized buffers)
+            geno = (u >= hom_ref).astype(np.uint8)
+            geno += (u >= het)
+            del u
+            fh.write(codec.dense_to_plink(geno).T.tobytes())  # SNP-major
+    with open(path[:-4] + ".fam", "w") as fh:
+        for i in range(n_indiv):
+            fh.write(f"F{i} I{i} 0 0 0 -9\n")
+    with open(path[:-4] + ".bim", "w") as fh:
+        for s in range(n_snps):
+            fh.write(f"1 snp{s} 0 {s + 1} A B\n")
+
+
 def simulate_genotypes(
     n_indiv: int,
     n_snps: int,
