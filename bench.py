@@ -55,19 +55,22 @@ def main() -> None:
             return jnp.float32(bfin[0, 0])
         return functools.partial(many, zq_t, b, fvec)
 
-    def timed(fn):
-        float(fn())  # warm / compile
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            float(fn())  # host transfer = real sync over the tunnel
-            best = min(best, time.time() - t0)
-        return best
+    # 64 iterations so the differenced signal dominates tunnel jitter, and
+    # INTERLEAVED base/full pairs so multi-second device-speed drift (shared
+    # tunnel) cannot land between the two measurements of one difference.
+    n_iters = 64
+    f_base, f_full = make(1), make(n_iters + 1)
+    float(f_base())  # compile both before any timing
+    float(f_full())
 
-    n_iters = 16
-    t_base = timed(make(1))
-    t_full = timed(make(n_iters + 1))
-    per = (t_full - t_base) / n_iters
+    def once(fn):
+        t0 = time.time()
+        float(fn())  # host transfer = real sync over the tunnel
+        return time.time() - t0
+
+    per = min((once(f_full) - once(f_base)) / n_iters for _ in range(7))
+    if per <= 0:
+        per = min(once(f_full) for _ in range(3)) / (n_iters + 1)
 
     ops = INDIV * SNPS * NCOL / per
     print(json.dumps({
