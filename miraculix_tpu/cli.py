@@ -6,6 +6,9 @@ core ops, and run the GBLUP pipeline.
     python -m miraculix_tpu.cli simulate --snps 50000 --indiv 10000 out.bed
     python -m miraculix_tpu.cli validate --snps 2000 --indiv 300
     python -m miraculix_tpu.cli bench --snps 65536 --indiv 4096 --ncol 32
+    python -m miraculix_tpu.cli grm panel.bed -o grm.npy [--blocked]
+    python -m miraculix_tpu.cli ld panel.bed -o ld.npy
+    python -m miraculix_tpu.cli ingest panel.bed -o panel.npz
     python -m miraculix_tpu.cli gblup panel.bed --h2 0.5
     python -m miraculix_tpu.cli info
 """
@@ -115,6 +118,46 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_grm(args) -> int:
+    """GRM of a .bed fileset to .npy (the Julia grm() entry,
+    src/bindings/Julia/crossproduct.jl:83-110, as a command)."""
+    import numpy as np
+
+    from . import from_bed, grm
+    from .ops.grm import grm_blocked
+
+    if args.blocked:
+        out = grm_blocked(args.bed, row_block=args.row_block)
+    else:
+        out = np.asarray(grm(from_bed(args.bed)))
+    np.save(args.out, out)
+    print(f"wrote {args.out}: {out.shape[0]}^2 GRM")
+    return 0
+
+
+def cmd_ld(args) -> int:
+    import numpy as np
+
+    from . import from_bed, ld
+
+    out = np.asarray(ld(from_bed(args.bed)))
+    np.save(args.out, out)
+    print(f"wrote {args.out}: {out.shape[0]}^2 LD r^2")
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    """Pack a .bed fileset once and checkpoint it (skip decode+pack on
+    reload — geno.save/load)."""
+    from . import from_bed
+    from .geno import save
+
+    g = from_bed(args.bed)
+    save(args.out, g)
+    print(f"wrote {args.out}: {g!r}")
+    return 0
+
+
 def cmd_gblup(args) -> int:
     from .gblup import run_gblup  # lazy import
 
@@ -148,6 +191,21 @@ def main(argv=None) -> int:
     b.add_argument("--seed", type=int, default=0)
     b.add_argument("--grm", action="store_true")
 
+    gr = sub.add_parser("grm")
+    gr.add_argument("bed")
+    gr.add_argument("-o", "--out", default="grm.npy")
+    gr.add_argument("--blocked", action="store_true",
+                    help="out-of-core (GRM larger than device memory)")
+    gr.add_argument("--row-block", type=int, default=8192)
+
+    l = sub.add_parser("ld")
+    l.add_argument("bed")
+    l.add_argument("-o", "--out", default="ld.npy")
+
+    ing = sub.add_parser("ingest")
+    ing.add_argument("bed")
+    ing.add_argument("-o", "--out", default="panel.npz")
+
     g = sub.add_parser("gblup")
     g.add_argument("bed")
     g.add_argument("--h2", type=float, default=0.5)
@@ -160,6 +218,9 @@ def main(argv=None) -> int:
         "simulate": cmd_simulate,
         "validate": cmd_validate,
         "bench": cmd_bench,
+        "grm": cmd_grm,
+        "ld": cmd_ld,
+        "ingest": cmd_ingest,
         "gblup": cmd_gblup,
     }[args.cmd](args)
 

@@ -167,3 +167,26 @@ def test_dgemm_bf16_tier(rng, trans, n):
     err = np.abs(c - want).max() / scale
     assert err < 2e-2            # bf16 tier tolerance
     assert err > 1e-7            # and it really is the low tier, not split
+
+
+def test_dgemm_fuzz_shapes(rng):
+    """Property sweep: random (indiv, snps, n, trans, center) configs must
+    match the float64 oracle — covers odd shapes, both schedules, both
+    orientations in one sweep (the reference's edge-dims tests generalized)."""
+    for trial in range(10):
+        indiv = int(rng.integers(3, 400))
+        snps = int(rng.integers(3, 1200))
+        n = int(rng.integers(1, 150))
+        trans = ["n", "t"][int(rng.integers(2))]
+        center = [True, False, "colmeans"][int(rng.integers(3))]
+        g = bed.simulate_genotypes(indiv, snps, seed=trial,
+                                   missing_rate=0.02 * (trial % 2))
+        gm = mx.from_dense(g)
+        rows_b = snps if trans == "n" else indiv
+        b = rng.standard_normal((rows_b, n))
+        c = np.asarray(mx.dgemm(gm, b, trans=trans, center=center))
+        want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64),
+                                     trans=trans, center=center)
+        scale = max(1.0, np.abs(want).max())
+        err = np.abs(c - want).max() / scale
+        assert err < 1e-4, (indiv, snps, n, trans, center, err)
