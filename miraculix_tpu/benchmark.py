@@ -197,11 +197,12 @@ def bench_grm(panel: str, iters: int = 8, comparator: bool = False) -> dict:
 
         @jax.jit
         def many(d):
-            def body(c, _):
-                m = dense_step(d)
-                return c + m[0, 0] * 1e-30, None
-            cf, _ = jax.lax.scan(body, jnp.float32(0), None, length=2)
-            return cf
+            def body(dc, _):
+                m = dense_step(dc)
+                # feed the result back so XLA cannot hoist the matmul
+                return dc * (1 + m[0, 0] * 1e-30), None
+            df, _ = jax.lax.scan(body, d, None, length=2)
+            return jnp.float32(df[0, 0])
 
         float(many(dense))
         t0 = time.time()
@@ -233,19 +234,13 @@ def bench_scaling(n_devices: Optional[int] = None, snps: int = 131072,
     for nd in sorted({1, d}):
         mesh = parallel.make_mesh(nd)
         sg = parallel.shard_genotypes(g, mesh)
-        b_pad = b
-
-        def step():
-            return parallel.sharded_dgemm(sg, b_pad, trans="n")
-
-        out = step()
-        np.asarray(out)  # compile + run
-        t0 = time.time()
-        reps = 5
-        for _ in range(reps):
-            out = step()
-        np.asarray(out)
-        results[nd] = (time.time() - t0) / reps
+        # scan-carry differenced timing (the tunnel-drift-safe protocol);
+        # sg rides through jit as a pytree, so tracing happens once.  The
+        # mesh binds via closure: tracers cannot carry sharding metadata.
+        results[nd] = _timed_scan_b(
+            lambda s, bc, m=mesh: parallel.sharded_dgemm(
+                s, bc, trans="n", mesh=m),
+            sg, b, iters=8)
     eff = None
     if d > 1:
         eff = results[1] / (results[d] * d)

@@ -203,7 +203,6 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
     from .io import bed as bedio
 
     g = from_bed(bed_path)
-    geno, _ = bedio.read_bed_genotypes(bed_path)
     # phenotype = 6th whitespace column of each .fam line (parse per line:
     # extra columns or odd spacing must not shift the stride)
     with open(bed_path[:-4] + ".fam") as fh:
@@ -214,7 +213,16 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
         y = pheno_col.astype(np.float64)
         if np.all(y == -9):
             raise ValueError
+        if np.any(y == -9):
+            # PLINK missing-phenotype code among real values: fitting them
+            # as trait values would silently corrupt the solve
+            raise SystemExit(
+                f"{int((y == -9).sum())} individuals have missing phenotype "
+                "(-9) in the .fam; subset the panel to phenotyped "
+                "individuals before running GBLUP")
     except ValueError:
+        # dense genotypes are only needed for the simulation fallback
+        geno, _ = bedio.read_bed_genotypes(bed_path)
         y, bv_true = simulate_phenotypes(geno, h2=h2)
         print("(.fam has no phenotypes — simulated with known BVs)")
 

@@ -164,21 +164,28 @@ def transpose_u8(geno: np.ndarray) -> Optional[np.ndarray]:
 
 
 def bed_ingest(payload: np.ndarray, snps: int, indiv: int,
-               spad: int, kwi: int, ipad: int, kws: int):
-    """Fused .bed -> planar16 both orientations + freq/pseudo-freq, never
+               spad: int, kwi: int, ipad: int, kws: int,
+               want_t: bool = True, want_n: bool = True,
+               want_pfreq: bool = True):
+    """Fused .bed -> planar16 packings + freq/pseudo-freq, never
     materializing the dense matrix.  ``payload``: uint8 [snps, nbytes]
-    (the raw SNP-major .bed stream after the magic bytes).  Returns
-    (zq_t, zq_n, freq, pseudo_freq) or None if native is unavailable."""
+    (the raw SNP-major .bed stream after the magic bytes).  Each of the
+    three big outputs can be skipped (None placeholder in the result) —
+    the out-of-core GRM needs only zq_n + freq and must not allocate the
+    transposed packing.  Returns (zq_t, zq_n, freq, pseudo_freq) or None
+    if native is unavailable."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "mx_bed_ingest"):
         return None
     payload = np.ascontiguousarray(payload, dtype=np.uint8)
-    zqt = np.empty((spad, kwi), dtype=np.uint32)
-    zqn = np.empty((ipad, kws), dtype=np.uint32)
+    zqt = np.empty((spad, kwi), dtype=np.uint32) if want_t else None
+    zqn = np.empty((ipad, kws), dtype=np.uint32) if want_n else None
     freq = np.empty(snps, dtype=np.float64)
-    pfreq = np.empty(indiv, dtype=np.float64)
+    pfreq = np.empty(indiv, dtype=np.float64) if want_pfreq else None
     lib.mx_bed_ingest(_ptr(payload, ctypes.c_uint8), snps, indiv,
                       spad, kwi, ipad, kws,
-                      _ptr(zqt, ctypes.c_uint32), _ptr(zqn, ctypes.c_uint32),
-                      _ptr(freq, ctypes.c_double), _ptr(pfreq, ctypes.c_double))
+                      _ptr(zqt, ctypes.c_uint32) if want_t else None,
+                      _ptr(zqn, ctypes.c_uint32) if want_n else None,
+                      _ptr(freq, ctypes.c_double),
+                      _ptr(pfreq, ctypes.c_double) if want_pfreq else None)
     return zqt, zqn, freq, pfreq

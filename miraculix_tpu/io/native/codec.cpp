@@ -179,7 +179,9 @@ void mx_transpose_u8(const uint8_t* in, int64_t rows, int64_t cols,
 // payload: [snps, nbytes] row-major — the .bed stream after the 3 magic
 // bytes, untransposed.  zqt: [spad, kwi]; zqn: [ipad, kws]; freq: [snps];
 // pfreq: [indiv].  Missing (PLINK code 01) packs as 0 and is excluded from
-// both frequency denominators.
+// both frequency denominators.  zqt, zqn and pfreq may each be NULL to
+// skip that output (freq is always computed): out-of-core GRM needs only
+// zqn + freq and must not pay for the 25 GB transposed packing.
 void mx_bed_ingest(const uint8_t* payload, int64_t snps, int64_t indiv,
                    int64_t spad, int64_t kwi, int64_t ipad, int64_t kws,
                    uint32_t* zqt, uint32_t* zqn,
@@ -189,42 +191,53 @@ void mx_bed_ingest(const uint8_t* payload, int64_t snps, int64_t indiv,
 
     // pass 1: zq_t rows (decoded columns = individuals) + per-SNP freq
 #pragma omp parallel for schedule(static)
-    for (int64_t s = 0; s < spad; ++s) {
-        uint32_t* dst = zqt + s * kwi;
+    for (int64_t s = 0; s < (zqt ? spad : snps); ++s) {
+        uint32_t* dst = zqt ? zqt + s * kwi : nullptr;
         if (s >= snps) {
             std::memset(dst, 0, (size_t)kwi * 4);
             continue;
         }
         const uint8_t* row = payload + s * nbytes;
         int64_t sum = 0, called = 0;
-        for (int64_t c = 0; c < kwi; ++c) {
-            uint32_t w = 0;
-            for (int m = 0; m < 16; ++m) {
-                int64_t idx = (int64_t)m * kwi + c;
-                if (idx >= indiv) continue;
-                uint32_t g = dec[(row[idx >> 2] >> (2 * (idx & 3))) & 3u];
-                if (g == 3u) {
-                    g = 0u;
-                } else {
+        if (dst) {
+            for (int64_t c = 0; c < kwi; ++c) {
+                uint32_t w = 0;
+                for (int m = 0; m < 16; ++m) {
+                    int64_t idx = (int64_t)m * kwi + c;
+                    if (idx >= indiv) continue;
+                    uint32_t g = dec[(row[idx >> 2] >> (2 * (idx & 3))) & 3u];
+                    if (g == 3u) {
+                        g = 0u;
+                    } else {
+                        sum += g;
+                        called += 1;
+                    }
+                    w |= g << (2 * m);
+                }
+                dst[c] = w;
+            }
+        } else {  // freq-only scan: one linear pass over the SNP's bytes
+            for (int64_t i = 0; i < indiv; ++i) {
+                uint32_t g = dec[(row[i >> 2] >> (2 * (i & 3))) & 3u];
+                if (g != 3u) {
                     sum += g;
                     called += 1;
                 }
-                w |= g << (2 * m);
             }
-            dst[c] = w;
         }
         freq[s] = (double)sum / (2.0 * (double)(called > 0 ? called : 1));
     }
 
     // pass 2: zq_n rows (decoded columns = SNPs) + per-individual freq.
     // Parallel over byte-rows (4 individuals each); s/kws is the plane.
+    if (!zqn && !pfreq) return;
 #pragma omp parallel for schedule(static)
     for (int64_t b = 0; b < (ipad + 3) / 4; ++b) {
         uint32_t* dst[4];
         int64_t sum[4] = {0, 0, 0, 0}, called[4] = {0, 0, 0, 0};
         for (int j = 0; j < 4; ++j) {
             int64_t i = 4 * b + j;
-            dst[j] = (i < ipad) ? zqn + i * kws : nullptr;
+            dst[j] = (zqn && i < ipad) ? zqn + i * kws : nullptr;
             if (dst[j]) std::memset(dst[j], 0, (size_t)kws * 4);
         }
         if (4 * b >= indiv) continue;  // pure padding rows: zeroed above
@@ -242,18 +255,20 @@ void mx_bed_ingest(const uint8_t* payload, int64_t snps, int64_t indiv,
                     sum[j] += g;
                     called[j] += 1;
                 }
-                dst[j][c] |= g << shift;
+                if (dst[j]) dst[j][c] |= g << shift;
             }
         }
-        for (int j = 0; j < 4; ++j) {
-            int64_t i = 4 * b + j;
-            if (i < indiv)
-                pfreq[i] = (double)sum[j]
-                           / (2.0 * (double)(called[j] > 0 ? called[j] : 1));
+        if (pfreq) {
+            for (int j = 0; j < 4; ++j) {
+                int64_t i = 4 * b + j;
+                if (i < indiv)
+                    pfreq[i] = (double)sum[j]
+                               / (2.0 * (double)(called[j] > 0 ? called[j] : 1));
+            }
         }
     }
 }
 
-int mx_codec_version(void) { return 2; }
+int mx_codec_version(void) { return 3; }
 
 }  // extern "C"

@@ -15,7 +15,9 @@ Finishing steps (all O(m^2), done in XLA):
   src/bindings/Julia/crossproduct.jl:83-110):
       M -= (m·1ᵀ + 1·mᵀ)/n;  M += (Σm)/n²;  M /= 2 Σ p(1-p)
   with m = M·1 the column sums of the raw integer crossproduct.
-- LD r² (crossproduct.jl:128-152):
+- LD correlation r (crossproduct.jl:128-152; NB the reference's docstring
+  claims R² but its computation — and its own test against `plink --r
+  square`, tests/crossproduct/test_ld.jl — produce the signed r):
       M -= 4n·ffᵀ;  M /= σσᵀ with σ = sqrt(diag(M)).
 """
 from __future__ import annotations
@@ -163,6 +165,10 @@ def packed_crossprod_rect(
     rows_b, kw_b = zq_b.shape
     if kw != kw_b:
         raise ValueError("packed K widths differ")
+    if 4 * 16 * kw >= 2 ** 31:
+        raise ValueError(
+            f"{16 * kw} packed SNP columns could overflow the exact int32 "
+            "accumulator (limit ~536M); chunk the SNP axis and sum partials")
     tile_a = pick_tile(rows_a, tile_m, 8)
     tile_b = pick_tile(rows_b, tile_m, 8)
     grid = (rows_a // tile_a, rows_b // tile_b, kw // pick_tile(kw, tile_kw, 128))
@@ -227,11 +233,13 @@ def grm(
 def ld(
     g: GenoMatrix,
     dtype=jnp.float32,
+    squared: bool = False,
     interpret: Optional[bool] = None,
     **tiles,
 ) -> jax.Array:
-    """LD r² matrix (reference crossproduct.jl:128-152): centered SNP-SNP
-    correlation of allele counts."""
+    """LD matrix: centered SNP-SNP correlation r of allele counts
+    (reference crossproduct.jl:128-152, validated against `plink --r`).
+    ``squared=True`` returns r² (the LD-pruning statistic)."""
     n = g.indiv
     m = snp_crossprod(g, snpmajor_output=True, interpret=interpret, **tiles)
     m = m.astype(dtype)
@@ -244,7 +252,7 @@ def ld(
     diag = jnp.maximum(jnp.diagonal(m), 0.0)
     sigma = jnp.where(diag > 0, jnp.sqrt(diag), 1.0)
     m = m / sigma[:, None] / sigma[None, :]
-    return m
+    return m * m if squared else m
 
 
 def _row_block_fn(zq, rb: int):
@@ -298,7 +306,8 @@ def grm_blocked(
             payload, snps_, indiv = bed.read_bed_payload(source)
             ipad, kws = _codec.planar16_dims(indiv, snps_, row_mult=256)
             spad, kwi = _codec.planar16_dims(snps_, indiv, row_mult=256)
-            nat = _nat.bed_ingest(payload, snps_, indiv, spad, kwi, ipad, kws)
+            nat = _nat.bed_ingest(payload, snps_, indiv, spad, kwi, ipad,
+                                  kws, want_t=False, want_pfreq=False)
             if nat is not None:
                 _, zq, freq, _ = nat  # host zq_n [ipad, kws]
             else:
@@ -356,7 +365,7 @@ def ld_blocked(
     row_block: int = 8192,
     out: Optional["np.ndarray"] = None,
 ):
-    """Out-of-core LD r² matrix: SNP x SNP correlation tiles computed on
+    """Out-of-core LD correlation (r) matrix: SNP x SNP tiles computed on
     device (rect int8 crossproducts of the transposed packing over the full
     individual axis), accumulated into a host float32 matrix — LD matrices
     outgrow HBM at ~60K SNPs.  Finish per crossproduct.jl:128-152."""

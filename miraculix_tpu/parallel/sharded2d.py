@@ -51,11 +51,8 @@ def make_mesh_2d(
     devs = devs[:n]
     if di is None:
         di = 1
-        while di * 2 <= n // (di * 2) * (di * 2) and (n % (di * 2) == 0) \
-                and (di * 2) ** 2 <= n * 2:
+        while (2 * di) ** 2 <= n and n % (2 * di) == 0:
             di *= 2
-        while n % di:
-            di //= 2
     dk = n // di
     return Mesh(np.array(devs).reshape(di, dk), axes)
 
