@@ -119,27 +119,24 @@ def bench_dgemm(panel: str, ncol: int = 32, iters: int = 16,
     """Centered dgemm_compressed 'n' on one chip, with roofline ratios."""
     import jax.numpy as jnp
 
-    from .io import bed, codec
-    from .ops.dgemm import packed_matmul
+    from .geno import from_dense
+    from .io import bed
+    from .ops.dgemm import dgemm
 
     p = PANELS[panel]
     snps, indiv = p["snps"], p["indiv"]
     g = bed.simulate_genotypes(indiv, snps, seed=0)
-    zq = jnp.asarray(codec.pack_planar16(g, row_mult=256))
+    gm = from_dense(g)  # both orientations: dgemm() picks tall/wide
+    zq = gm.zq_n
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal((snps, ncol)), jnp.float32)
-    f = jnp.asarray(codec.allele_freq(g).astype(np.float32))
 
-    def step(zq, bc):
-        c = packed_matmul(zq, bc)
-        return c - 2.0 * (f.astype(c.dtype) @ bc.astype(c.dtype))[None, :]
-
-    per = _timed_scan_b(step, zq, b, iters)
+    per = _timed_scan_b(
+        lambda gmx, bc: dgemm(gmx, bc, trans="n", center=True), gm, b, iters)
     geno_ops = snps * indiv * ncol / per
-    # MXU work: 2 flops x 2 (hi/lo split) per genotype-column op, N padded
-    # to the 128-lane width when 2*ncol < 128.
-    n_eff = max(2 * ncol, 128)
-    mxu_flops = 2.0 * indiv * snps * n_eff / per
+    # useful MXU work: 2 flops x 2 (hi/lo split) per genotype-column op
+    # (the tall schedule streams 2*ncol rows with no lane padding)
+    mxu_flops = 4.0 * indiv * snps * ncol / per
     hbm_bytes = (zq.nbytes + b.nbytes * 4 + indiv * ncol * 4) / per
     out = {
         "suite": "dgemm",

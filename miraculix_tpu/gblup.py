@@ -88,6 +88,7 @@ def gblup(
     y: np.ndarray,
     h2: float = 0.5,
     n_pcs: int = 10,
+    covariates: Optional[np.ndarray] = None,
     solver: str = "cg",
     tol: float = 1e-4,
     maxiter: int = 2000,
@@ -113,11 +114,19 @@ def gblup(
     y = np.asarray(y, dtype=np.float64).reshape(n)
 
     pcs = None
+    cols = [np.ones((n, 1))]
+    if covariates is not None:
+        cov = np.asarray(covariates, dtype=np.float64)
+        if cov.ndim == 1:
+            cov = cov[:, None]
+        if cov.shape[0] != n:
+            raise ValueError(f"covariates have {cov.shape[0]} rows, "
+                             f"expected {n}")
+        cols.append(cov)
     if n_pcs > 0:
         _, pcs = randomized_grm_pca(g, k=n_pcs, seed=seed)
-        x = np.concatenate([np.ones((n, 1)), pcs], axis=1)
-    else:
-        x = np.ones((n, 1))
+        cols.append(pcs)
+    x = np.concatenate(cols, axis=1)
     p = x.shape[1]
 
     rhs = jnp.asarray(np.concatenate([x, y[:, None]], axis=1), jnp.float32)

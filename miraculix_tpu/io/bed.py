@@ -233,11 +233,14 @@ def simulate_genotypes(
     """
     rng = np.random.default_rng(seed)
     maf = rng.uniform(*maf_range, size=n_snps)
-    u = rng.random((n_indiv, n_snps))
-    hom_ref = (1.0 - maf) ** 2
-    het = hom_ref + 2.0 * maf * (1.0 - maf)
-    geno = np.where(u < hom_ref, 0, np.where(u < het, 1, 2)).astype(np.uint8)
+    u = rng.random((n_indiv, n_snps), dtype=np.float32)
+    hom_ref = ((1.0 - maf) ** 2).astype(np.float32)
+    het = hom_ref + (2.0 * maf * (1.0 - maf)).astype(np.float32)
+    # genotype = #thresholds crossed (uint8 arithmetic; np.where with Python
+    # ints would allocate 8x-sized int64 temporaries)
+    geno = (u >= hom_ref).astype(np.uint8)
+    geno += (u >= het)
     if missing_rate > 0:
-        miss = rng.random((n_indiv, n_snps)) < missing_rate
-        geno = np.where(miss, np.uint8(3), geno)
+        miss = rng.random((n_indiv, n_snps), dtype=np.float32) < missing_rate
+        geno[miss] = 3
     return geno

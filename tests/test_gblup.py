@@ -86,3 +86,17 @@ def test_gblup_sharded_matches_single_chip(rng, layout):
     dist = gblup(sg, y, h2=0.6, n_pcs=2, solver="cg", tol=1e-6, maxiter=500)
     np.testing.assert_allclose(dist.beta, ref.beta, atol=1e-2)
     np.testing.assert_allclose(dist.g_hat, ref.g_hat, atol=5e-2)
+
+
+def test_gblup_user_covariates(rng):
+    """User covariates join the intercept + PCs in the fixed-effect design."""
+    from miraculix_tpu.gblup import gblup, simulate_phenotypes
+
+    g = bed.simulate_genotypes(60, 500, seed=5)
+    cov = rng.standard_normal(60)
+    y, _ = simulate_phenotypes(g, h2=0.5, seed=2)
+    y = y + 3.0 * cov  # strong covariate effect
+    res = gblup(mx.from_dense(g), y, h2=0.5, n_pcs=2, covariates=cov,
+                solver="cg", tol=1e-6, maxiter=400)
+    # beta = [intercept, cov, pc1, pc2]; the covariate coefficient ~ 3
+    assert abs(res.beta[1] - 3.0) < 0.5

@@ -110,3 +110,40 @@ def test_shard_from_bed_matches_memory(tmp_path, rng):
     c1 = np.asarray(parallel.sharded_dgemm(sg_mem, b))
     c2 = np.asarray(parallel.sharded_dgemm(sg_bed, b))
     np.testing.assert_allclose(c1, c2, atol=1e-4)
+
+
+def test_rapi_options_debug_centered():
+    """copyoptions / Debug / StopDebug / get_centered entries
+    (reference zzzR.c:93,111-112,116)."""
+    import os
+
+    from miraculix_tpu import rapi
+    from miraculix_tpu.options import Options, set_global_options
+
+    set_global_options(Options(normalize=True))
+    snap = rapi.copy_options()
+    assert snap.normalize is True
+    snap.normalize = False  # mutating the copy must not touch the global
+    assert rapi.copy_options().normalize is True
+
+    rapi.debug()
+    assert os.environ["MIRACULIX_TPU_PRINT_LEVEL"] == "3"
+    rapi.stop_debug()
+    assert os.environ["MIRACULIX_TPU_PRINT_LEVEL"] == "0"
+
+    assert rapi.get_centered() is None
+    rapi.set_centered(np.arange(4.0))
+    np.testing.assert_array_equal(rapi.get_centered(), np.arange(4.0))
+    rapi.set_centered(None)
+    set_global_options(Options())
+
+
+def test_rapi_exists_and_origins():
+    from miraculix_tpu import rapi
+
+    assert rapi.exists_tiling(1024)
+    assert not rapi.exists_tiling(1000, minimum=16)
+    assert rapi.exists_allele_freq(rapi.Coding.TWO_BIT)
+    m = np.array([[2, 1, 5, 1], [1, 2, 3, 2]])
+    codes = rapi.codeOrigins(m)
+    np.testing.assert_array_equal(rapi.decodeOrigins(codes), m)
