@@ -75,7 +75,7 @@ def _pmm_kernel_split(zq_ref, bcat_ref, out_ref, *, n):
         out_ref[...] = out_ref[...] + prod
 
 
-def _pmm_tall_kernel(bt_ref, zq_ref, out_ref):
+def _pmm_tall_kernel(bt_ref, zq_ref, out_ref, *, f32=False):
     """out[2n, 16*tile_kw] += Bᵀ-tile @ decode(zq-tile).
 
     The "tall" schedule for skinny RHS (n < 64): the decoded genotype tile
@@ -86,8 +86,15 @@ def _pmm_tall_kernel(bt_ref, zq_ref, out_ref):
     wide schedule pads N=2n up to the 128-lane width.
     """
     k = pl.program_id(1)
-    d = decode_planar16_scaled(zq_ref[...], jnp.bfloat16)
-    prod = jnp.dot(bt_ref[...], d, preferred_element_type=jnp.float32)
+    if f32:
+        d = decode_planar16_scaled(zq_ref[...], jnp.float32)
+        prod = jax.lax.dot_general(
+            bt_ref[...], d, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    else:
+        d = decode_planar16_scaled(zq_ref[...], jnp.bfloat16)
+        prod = jnp.dot(bt_ref[...], d, preferred_element_type=jnp.float32)
 
     @pl.when(k == 0)
     def _init():
@@ -251,7 +258,7 @@ TALL_TILE_KW = 128
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_s", "tile_kw", "single_bf16", "interpret")
+    jax.jit, static_argnames=("tile_s", "tile_kw", "mode", "interpret")
 )
 def packed_matmul_tall(
     zq_other: jax.Array,
@@ -259,7 +266,7 @@ def packed_matmul_tall(
     *,
     tile_s: int = TALL_TILE_S,
     tile_kw: int = TALL_TILE_KW,
-    single_bf16: bool = False,
+    mode: str = "split",
     interpret: bool = False,
 ) -> jax.Array:
     """decode(zq_other)ᵀ @ B computed TRANSPOSED: Cᵀ = Bᵀ @ decode(zq_other).
@@ -270,7 +277,8 @@ def packed_matmul_tall(
     ``b``: [contract, n] with contract <= packed rows.  Returns f32
     [16*kw, n] (output rows = decoded columns, zero padding past the real
     count).  Preferred over :func:`packed_matmul` when n <= 64 — see
-    ``_pmm_tall_kernel``.
+    ``_pmm_tall_kernel``.  ``mode``: "split" (bf16 hi/lo, ~3e-6 relative),
+    "bf16" (single pass, ~2e-3), "f32" (HIGHEST-precision dot, ~1e-7).
     """
     spad, kwi = zq_other.shape
     contract, n = b.shape
@@ -281,18 +289,22 @@ def packed_matmul_tall(
     bpad = jnp.zeros((spad, n), jnp.float32).at[:contract].set(
         b.astype(jnp.float32))
     bt = bpad.T
-    if single_bf16:
+    if mode == "bf16":
         bcat = bt.astype(jnp.bfloat16)                # [n, spad]
         rows2 = n
-    else:
+    elif mode == "f32":
+        bcat = bt                                     # [n, spad] f32
+        rows2 = n
+    else:  # split
         bhi_f32 = jax.lax.reduce_precision(bt, exponent_bits=8, mantissa_bits=7)
         bhi = bhi_f32.astype(jnp.bfloat16)
         blo = (bt - bhi_f32).astype(jnp.bfloat16)
         bcat = jnp.concatenate([bhi, blo], axis=0)    # [2n, spad]
         rows2 = 2 * n
-    rows_pad = max(16, ((rows2 + 15) // 16) * 16)     # bf16 sublane granule
+    granule = 8 if mode == "f32" else 16              # sublane granularity
+    rows_pad = max(granule, ((rows2 + granule - 1) // granule) * granule)
     if rows_pad != rows2:
-        bcat = jnp.zeros((rows_pad, spad), jnp.bfloat16).at[:rows2].set(bcat)
+        bcat = jnp.zeros((rows_pad, spad), bcat.dtype).at[:rows2].set(bcat)
 
     grid = (ni, spad // tile_s)
     cost = pl.CostEstimate(
@@ -302,7 +314,7 @@ def packed_matmul_tall(
         transcendentals=0,
     )
     out = call32(pl.pallas_call(
-        _pmm_tall_kernel,
+        functools.partial(_pmm_tall_kernel, f32=(mode == "f32")),
         grid=grid,
         in_specs=[
             pl.BlockSpec((rows_pad, tile_s), lambda i, k: (0, k)),
@@ -316,7 +328,7 @@ def packed_matmul_tall(
         cost_estimate=cost,
         interpret=interpret,
     ), bcat, zq_other)
-    ct = out[:n] if single_bf16 else out[:n] + out[n:rows2]  # merge hi/lo
+    ct = out[:n] if mode in ("bf16", "f32") else out[:n] + out[n:rows2]
     # undo the mask-only decode's 4^m plane factor and restore natural
     # column order: block i holds (plane m, word t) at i*16*tkw + m*tkw + t;
     # the natural position is m*kwi + i*tkw + t.
@@ -453,17 +465,18 @@ def dgemm(
         )
 
     zq_other = g.zq_t if trans == "n" else g.zq_n
-    tall_limit = 128 if precision == "bf16" else 64  # streamed rows = n vs 2n
+    # streamed rows = n for single-pass modes, 2n for the hi/lo split
+    tall_limit = 128 if precision in ("bf16", "f32") else 64
     if precision == "f64":
         c = packed_matmul_f64(
             zq, b, tile_r=tile_r, tile_kw=tile_kw, split=True,
             interpret=interpret,
         )
-    elif (precision in ("fast", "bf16") and b.shape[1] <= tall_limit
+    elif (precision in ("fast", "bf16", "f32") and b.shape[1] <= tall_limit
           and b.shape[0] <= zq_other.shape[0]):
         # skinny RHS: tall transposed schedule (see _pmm_tall_kernel)
-        c = packed_matmul_tall(zq_other, b,
-                               single_bf16=(precision == "bf16"),
+        tall_mode = {"fast": "split", "bf16": "bf16", "f32": "f32"}[precision]
+        c = packed_matmul_tall(zq_other, b, mode=tall_mode,
                                interpret=interpret)
     else:
         c = packed_matmul(

@@ -93,13 +93,22 @@ def sparse_times_geno(
     # output axis and whose packed axis is `contract` is exactly the other
     # orientation — one packed matmul, then transpose.
     zq_other = g.zq_t if tg == "n" else g.zq_n
+    stj = jnp.asarray(st, jnp.float32)
     if precision == "f64":
         from .dgemm import packed_matmul_f64
 
-        out = packed_matmul_f64(zq_other, jnp.asarray(st),
-                                interpret=interpret)
-    else:
-        out = packed_matmul(zq_other, jnp.asarray(st, jnp.float32),
-                            split=(precision == "fast"),
-                            interpret=interpret)
+        out = packed_matmul_f64(zq_other, stj, interpret=interpret)
+        return out[:out_cols].T
+    # tall schedule wants the packing whose ROWS are the contraction axis
+    # and whose DECODED COLUMNS are the output axis — the same-orientation
+    # buffer (the opposite of the wide schedule's input)
+    zq_same = g.zq_n if tg == "n" else g.zq_t
+    if precision == "f32" and n_idx <= 128 and stj.shape[0] <= zq_same.shape[0]:
+        from .dgemm import packed_matmul_tall
+
+        out = packed_matmul_tall(zq_same, stj, mode="f32",
+                                 interpret=interpret)
+        return out[:out_cols].T
+    out = packed_matmul(zq_other, stj, split=(precision == "fast"),
+                        interpret=interpret)
     return out[:out_cols].T  # [n_idx, out_cols]
