@@ -148,14 +148,18 @@ def bench_dgemm(panel: str, ncol: int = 32, iters: int = 16,
         "hbm_utilization": round(hbm_bytes / PEAK_HBM_BYTES, 3),
     }
     if comparator:
-        dense = jnp.asarray(np.where(g == 3, 0, g), jnp.float32)
+        if g.size * 4 > 4e9:  # dense f32 panel would exhaust HBM
+            out["comparator_dense_xla_s"] = None
+        else:
+            dense = jnp.asarray(np.where(g == 3, 0, g), jnp.float32)
 
-        def dense_step(d, bc):
-            return d @ bc
+            def dense_step(d, bc):
+                return d @ bc
 
-        per_dense = _timed_scan_b(dense_step, dense, b, max(2, iters // 4))
-        out["comparator_dense_xla_s"] = round(per_dense, 6)
-        out["speedup_vs_dense"] = round(per_dense / per, 2)
+            per_dense = _timed_scan_b(dense_step, dense, b,
+                                      max(2, iters // 4))
+            out["comparator_dense_xla_s"] = round(per_dense, 6)
+            out["speedup_vs_dense"] = round(per_dense / per, 2)
     return out
 
 
@@ -184,7 +188,7 @@ def bench_grm(panel: str, iters: int = 8, comparator: bool = False) -> dict:
             (full_ops / 2) / per / PEAK_INT8_OPS, 3),
         "snps_per_s": round(snps / per, 1),
     }
-    if comparator:
+    if comparator and g.size * 4 <= 4e9:
         dense = jnp.asarray(np.where(g == 3, 0, g), jnp.float32)
 
         def dense_step(d):

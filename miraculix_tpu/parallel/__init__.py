@@ -2,7 +2,8 @@
 mesh (new capability — the reference is single-node).  1D = SNP-axis
 sharding; 2D = individuals x SNPs block sharding for panels where neither
 axis fits one chip."""
-from .sharded import (ShardedGeno, make_mesh, shard_genotypes,
+from .sharded import (ShardedGeno, init_distributed, make_mesh,
+                      shard_genotypes,
                       shard_genotypes_from_bed, sharded_cg_solve,
                       sharded_dgemm, sharded_grm, sharded_grm_matvec)
 from .sharded2d import (ShardedGeno2D, make_mesh_2d, pad_indiv_vec,
@@ -12,6 +13,7 @@ from .sharded2d import (ShardedGeno2D, make_mesh_2d, pad_indiv_vec,
 __all__ = [
     "ShardedGeno",
     "ShardedGeno2D",
+    "init_distributed",
     "make_mesh",
     "make_mesh_2d",
     "pad_indiv_vec",

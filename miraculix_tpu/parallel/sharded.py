@@ -442,3 +442,25 @@ def load_sharded(path: str, mesh: Mesh) -> ShardedGeno:
         zq_t=jax.device_put(z["zq_t"], NamedSharding(mesh, P(axis, None))),
         freq=jax.device_put(z["freq"], NamedSharding(mesh, P(axis))),
     )
+
+
+def init_distributed(coordinator_address: str = None,
+                     num_processes: int = None,
+                     process_id: int = None) -> int:
+    """Multi-host bootstrap: initialize jax.distributed and return this
+    process's index.  On a TPU pod slice the arguments auto-detect from the
+    environment; on CPU/GPU clusters pass them explicitly.  Pair with
+    shard_genotypes_from_bed (each process then reads only its own SNP
+    ranges) — the TPU-native replacement for the distribution layer the
+    reference never had (SURVEY.md §2.5)."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index()
