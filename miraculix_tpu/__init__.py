@@ -7,10 +7,12 @@ centering), GRM/LD crossproducts, and GBLUP equation solving — built for
 TPU: planar16 packing decoded in-register inside Pallas kernels feeding the
 MXU, sharded across device meshes with XLA collectives.
 """
-from .geno import GenoMatrix, from_bed, from_dense, from_plink
+# NB: the gblup ESTIMATOR stays at miraculix_tpu.gblup.gblup — re-exporting
+# the function here would shadow the submodule of the same name
+from .geno import GenoMatrix, from_bed, from_dense, from_plink, load, save
 from .options import Options, get_global_options, set_global_options
 from .ops.dgemm import dgemm, packed_matmul
-from .ops.grm import grm, ld, snp_crossprod
+from .ops.grm import grm, grm_blocked, ld, ld_blocked, snp_crossprod
 
 __version__ = "0.1.0"
 
@@ -23,8 +25,12 @@ __all__ = [
     "from_plink",
     "get_global_options",
     "grm",
+    "grm_blocked",
     "ld",
+    "ld_blocked",
+    "load",
     "packed_matmul",
+    "save",
     "set_global_options",
     "snp_crossprod",
 ]
