@@ -253,8 +253,8 @@ def packed_matmul(
     ), zq, b2)
 
 
-TALL_TILE_S = 512    # swept on v5e at 65536x4096 ncol=32: 512x128 -> 44 Tops/s
-TALL_TILE_KW = 128
+TALL_TILE_S = 1024   # swept on v5e: best across K=65536..262144 (45 Tops/s
+TALL_TILE_KW = 256   # at K=262144, ~1.5x over 512x128 at large K)
 
 
 @functools.partial(
