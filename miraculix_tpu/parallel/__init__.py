@@ -7,7 +7,8 @@ from .sharded import (ShardedGeno, init_distributed, make_mesh,
                       shard_genotypes_from_bed, sharded_cg_solve,
                       sharded_dgemm, sharded_grm, sharded_grm_matvec)
 from .sharded2d import (ShardedGeno2D, make_mesh_2d, pad_indiv_vec,
-                        pad_snp_vec, shard_genotypes_2d, sharded_cg_solve_2d,
+                        pad_snp_vec, shard_genotypes_2d,
+                        shard_genotypes_2d_from_bed, sharded_cg_solve_2d,
                         sharded_dgemm_2d, sharded_grm_2d)
 
 __all__ = [
@@ -20,6 +21,7 @@ __all__ = [
     "pad_snp_vec",
     "shard_genotypes",
     "shard_genotypes_2d",
+    "shard_genotypes_2d_from_bed",
     "shard_genotypes_from_bed",
     "sharded_cg_solve",
     "sharded_cg_solve_2d",

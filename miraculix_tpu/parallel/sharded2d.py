@@ -308,3 +308,86 @@ def _cg2d_jit(sg, bp, lam, center, tol, maxiter, mesh, interpret) -> CGResult:
         return gv
 
     return cg(op, bp, tol=tol, maxiter=maxiter)
+
+
+def shard_genotypes_2d_from_bed(
+    path: str,
+    mesh: Mesh,
+    freq: Optional["np.ndarray"] = None,
+) -> ShardedGeno2D:
+    """Multi-host 2D ingestion: each PROCESS reads and packs only the
+    (individual-range x SNP-range) blocks of its own addressable devices.
+
+    .bed is SNP-major, so a block read is the byte subrange
+    [i0/4, i1/4) of each SNP row in the shard's SNP range — a strided
+    slice of the memory-mapped payload, never the full panel.
+    """
+    from ..io import bed as bedio
+    from ..io import codec as _codec
+
+    ai, ak = mesh.axis_names
+    di, dk = mesh.shape[ai], mesh.shape[ak]
+    payload, n_snps, n_indiv = bedio.read_bed_payload(path)  # mmap'd
+    ipd = _round_up(-(-n_indiv // di), 2048)
+    spd = _round_up(-(-n_snps // dk), 2048)
+
+    if freq is None:
+        # global per-SNP freq: one pass over the mmap'd payload per SNP
+        # (cheap relative to packing; exact missing-aware)
+        from ..io import native as _nat
+
+        nat = _nat.bed_ingest(payload, n_snps, n_indiv,
+                              _codec.round_up(n_snps, 256),
+                              _codec.round_up(max((n_indiv + 15) // 16, 1),
+                                              _codec.LANE),
+                              ipd * di, spd // 16,
+                              want_t=False, want_n=False, want_pfreq=False)
+        if nat is not None:
+            freq = nat[2]
+        else:
+            dense = _codec.plink_to_dense(
+                np.ascontiguousarray(payload.T), n_indiv)
+            freq = _codec.allele_freq(dense, axis=0)
+    freq_pad = np.zeros(dk * spd, dtype=np.float32)
+    freq_pad[:n_snps] = np.asarray(freq, dtype=np.float32)
+
+    cache = {}
+
+    def block_pack(a: int, bidx: int):
+        """(zq_n block [ipd, spd/16], zq_t block [spd, ipd/16]) for device
+        block (a, b) — reads only that block's bytes."""
+        key = (a, bidx)
+        if key in cache:
+            return cache[key]
+        s0, s1 = bidx * spd, min((bidx + 1) * spd, n_snps)
+        i0, i1 = a * ipd, min((a + 1) * ipd, n_indiv)
+        dense = np.zeros((ipd, spd), dtype=np.uint8)
+        if s1 > s0 and i1 > i0:
+            b0, b1 = i0 // 4, (i1 + 3) // 4
+            chunk = np.ascontiguousarray(payload[s0:s1, b0:b1])  # block bytes
+            dec = _codec.plink_to_dense(
+                np.ascontiguousarray(chunk.T), (b1 - b0) * 4)
+            dense[: i1 - i0, : s1 - s0] = np.where(
+                dec[i0 - 4 * b0: i1 - 4 * b0] == 3, 0,
+                dec[i0 - 4 * b0: i1 - 4 * b0])
+        zqn = _codec.pack_planar16(dense, row_mult=8)
+        zqt = _codec.pack_planar16(np.ascontiguousarray(dense.T), row_mult=8)
+        cache[key] = (zqn, zqt)
+        return cache[key]
+
+    kwn = spd // 16
+    kwt = ipd // 16
+
+    zq_n = jax.make_array_from_callback(
+        (di * ipd, dk * kwn), NamedSharding(mesh, P(ai, ak)),
+        lambda idx: block_pack((idx[0].start or 0) // ipd,
+                               (idx[1].start or 0) // kwn)[0])
+    zq_t = jax.make_array_from_callback(
+        (dk * spd, di * kwt), NamedSharding(mesh, P(ak, ai)),
+        lambda idx: block_pack((idx[1].start or 0) // kwt,
+                               (idx[0].start or 0) // spd)[1])
+    freq_arr = jax.device_put(freq_pad, NamedSharding(mesh, P(ak)))
+    return ShardedGeno2D(
+        snps=n_snps, indiv=n_indiv, ipd=ipd, spd=spd, axes=(ai, ak),
+        zq_n=zq_n, zq_t=zq_t, freq=freq_arr,
+    )

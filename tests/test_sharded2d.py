@@ -76,3 +76,20 @@ def test_2d_matches_1d(mesh, panel, rng):
         sg2, parallel.pad_snp_vec(sg2, jnp.asarray(b)), trans="n"))[:70]
     c1 = np.asarray(parallel.sharded_dgemm(sg1, jnp.asarray(b), trans="n"))[:70]
     np.testing.assert_allclose(c2, c1, atol=1e-3)
+
+
+def test_shard_2d_from_bed_matches_dense(mesh, panel, tmp_path, rng):
+    """2D block ingestion straight from .bed (per-block reads) must match
+    in-memory 2D sharding exactly."""
+    from miraculix_tpu.io import bed
+
+    p = str(tmp_path / "p2d.bed")
+    bed.write_bed(p, panel)
+    sg_mem = parallel.shard_genotypes_2d(panel, mesh)
+    sg_bed = parallel.shard_genotypes_2d_from_bed(p, mesh)
+    np.testing.assert_array_equal(np.asarray(sg_bed.zq_n),
+                                  np.asarray(sg_mem.zq_n))
+    np.testing.assert_array_equal(np.asarray(sg_bed.zq_t),
+                                  np.asarray(sg_mem.zq_t))
+    np.testing.assert_allclose(np.asarray(sg_bed.freq),
+                               np.asarray(sg_mem.freq), atol=1e-6)
