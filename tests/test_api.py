@@ -115,3 +115,21 @@ def test_sparse_times_plink_transposed_geno(tmp_path, rng):
                                3, ia, ja, a)
     want = s @ g.astype(np.float64).T
     np.testing.assert_allclose(c, want, atol=1e-5)
+
+
+def test_sparse_times_plink_transposed_sparse(tmp_path, rng):
+    """transsparse='T': the CSR triplets describe Sᵀ storage
+    (5codesAPI.c:135-157 transS semantics)."""
+    g = bed.simulate_genotypes(24, 10, seed=46)
+    path = str(tmp_path / "s3.bed")
+    bed.write_bed(path, g)
+    plink, n_snps, n_indiv = bed.read_bed(path)
+    # stored matrix [indiv, n_idx] = Sᵀ; effective S = storedᵀ [n_idx, indiv]
+    stored = (rng.random((24, 3)) < 0.3) * rng.standard_normal((24, 3))
+    ia = np.concatenate([[0], np.cumsum((stored != 0).sum(axis=1))]) + 1
+    ja = np.nonzero(stored)[1] + 1
+    a = stored[stored != 0]
+    c = api.sparse_times_plink("T", "N", plink, None, n_snps, n_indiv,
+                               3, ia, ja, a)
+    want = stored.T @ g.astype(np.float64)
+    np.testing.assert_allclose(c, want, atol=1e-4)

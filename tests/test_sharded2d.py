@@ -93,3 +93,28 @@ def test_shard_2d_from_bed_matches_dense(mesh, panel, tmp_path, rng):
                                   np.asarray(sg_mem.zq_t))
     np.testing.assert_allclose(np.asarray(sg_bed.freq),
                                np.asarray(sg_mem.freq), atol=1e-6)
+
+
+def test_sharded_fuzz_vs_single_chip(mesh, rng):
+    """Random-shape sweep: 1D and 2D distributed dgemm must match the
+    single-chip oracle on every draw."""
+    for trial in range(4):
+        indiv = int(rng.integers(10, 120))
+        snps = int(rng.integers(20, 900))
+        n = int(rng.integers(1, 6))
+        g = bed.simulate_genotypes(indiv, snps, seed=100 + trial)
+        f = ref_impl.allele_freq_oracle(g, axis=0)
+        b = rng.standard_normal((snps, n)).astype(np.float32)
+        want = ref_impl.dgemm_oracle(g, b.astype(np.float64), f, trans="n")
+        scale = max(1.0, np.abs(want).max())
+
+        sg1 = parallel.shard_genotypes(g, parallel.make_mesh(8))
+        c1 = np.asarray(parallel.sharded_dgemm(sg1, jnp.asarray(b),
+                                               trans="n"))[:indiv]
+        assert np.abs(c1 - want).max() / scale < 1e-4, ("1d", indiv, snps, n)
+
+        sg2 = parallel.shard_genotypes_2d(g, mesh)
+        c2 = np.asarray(parallel.sharded_dgemm_2d(
+            sg2, parallel.pad_snp_vec(sg2, jnp.asarray(b)),
+            trans="n"))[:indiv]
+        assert np.abs(c2 - want).max() / scale < 1e-4, ("2d", indiv, snps, n)
