@@ -366,6 +366,11 @@ def packed_matmul_f64(
     """
     import numpy as np
 
+    if isinstance(b, jax.core.Tracer) or isinstance(zq, jax.core.Tracer):
+        raise TypeError(
+            "precision='f64' is host-orchestrated (TPUs have no f64 "
+            "hardware) and cannot run inside jit — call it eagerly, or use "
+            "precision='f32' inside jitted solvers")
     kw_args.pop("split", None)
     rows, kw = zq.shape
     cols, n = b.shape
