@@ -33,11 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 from ..geno import GenoMatrix
 from .common import call32, decode_planar16, on_cpu, pick_tile
 
-# swept on v5e at 4096 indiv x 131072 snps: 512x512 -> 556 Tops/s-equiv
-# (tile_m=1024 overflows the 16MB scoped-VMEM stack); pick_tile degrades
-# gracefully for small row counts.
+# swept on v5e at 4096..16384 indiv x 65536..131072 snps: symmetric
+# 512x512 triangle tiles win (551-556 Tops/s-equiv).  Asymmetric tiles
+# (tile_i != tile_j) are supported — a wide j-tile amortizes the i-tile
+# decode — but measured slower end to end: fewer streamed rows per
+# stationary MXU load outweigh the decode savings, and the wide tile
+# fattens the diagonal band the triangle skip cannot drop.
 DEFAULT_TILE_M = 512
 DEFAULT_TILE_KW = 512
+DEFAULT_TILE_I = 512
+DEFAULT_TILE_J = 512
 
 
 def _crossprod_kernel(zi_ref, zj_ref, out_ref):
@@ -60,14 +65,17 @@ def _crossprod_kernel(zi_ref, zj_ref, out_ref):
         out_ref[...] = out_ref[...] + prod
 
 
-def _crossprod_tri_kernel(zi_ref, zj_ref, out_ref):
-    """Upper-triangle-only variant: tiles with j < i skip the MXU work
-    entirely (the reference computes only the upper triangle too and
-    mirrors on the host, snp_multiply_cuda.cu:194-340).  Skipped tiles
-    still pay their (tiny) DMA; compute is what dominates."""
+def _crossprod_tri_kernel(zi_ref, zj_ref, out_ref, *, ti, tj):
+    """Upper-triangle-only variant: blocks entirely below the diagonal skip
+    the MXU work (the reference computes only the upper triangle too and
+    mirrors on the host, snp_multiply_cuda.cu:194-340).  Supports
+    asymmetric ti/tj tiles (see module constants for why the default is
+    symmetric).  Skipped tiles still pay their (tiny) DMA; compute is what
+    dominates."""
     i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    compute = (j + 1) * tj > i * ti  # block touches or crosses the diagonal
 
-    @pl.when(j >= i)
+    @pl.when(compute)
     def _compute():
         di = decode_planar16(zi_ref[...], jnp.int8)
         dj = decode_planar16(zj_ref[...], jnp.int8)
@@ -85,26 +93,30 @@ def _crossprod_tri_kernel(zi_ref, zj_ref, out_ref):
         def _acc():
             out_ref[...] = out_ref[...] + prod
 
-    @pl.when(jnp.logical_and(j < i, k == 0))
+    @pl.when(jnp.logical_and(jnp.logical_not(compute), k == 0))
     def _zero():
         out_ref[...] = jnp.zeros_like(out_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "tile_kw", "interpret",
-                                              "triangle"))
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "tile_kw",
+                                              "interpret", "triangle",
+                                              "tile_m"))
 def packed_crossprod(
     zq: jax.Array,
     *,
-    tile_m: int = DEFAULT_TILE_M,
+    tile_i: int = DEFAULT_TILE_I,
+    tile_j: int = DEFAULT_TILE_J,
     tile_kw: int = DEFAULT_TILE_KW,
     interpret: bool = False,
     triangle: bool = True,
+    tile_m: int = None,  # legacy alias: sets both tile_i and tile_j
 ) -> jax.Array:
     """Raw integer crossproduct decode(zq) @ decode(zq)ᵀ -> int32 [rows, rows].
 
     Exact while 4*snps < 2^31 (see module docstring).
-    ``triangle=True`` computes only upper-triangle tiles (~2x less MXU work)
-    and mirrors with one elementwise pass.
+    ``triangle=True`` computes only blocks touching or above the diagonal
+    (~2x less MXU work) and reconstructs the rest with one elementwise
+    pass; tiles are asymmetric to amortize the decode (module constants).
     """
     rows, kw = zq.shape
     if 4 * 16 * kw >= 2 ** 31:
@@ -113,25 +125,28 @@ def packed_crossprod(
         raise ValueError(
             f"{16 * kw} packed SNP columns could overflow the exact int32 "
             "accumulator (limit ~536M); chunk the SNP axis and sum partials")
-    tile_m = pick_tile(rows, tile_m, 8)
+    if tile_m is not None:
+        tile_i = tile_j = tile_m
+    ti = pick_tile(rows, tile_i, 8)
+    tj = pick_tile(rows, tile_j, 8)
     tile_kw = pick_tile(kw, tile_kw, 128)
-    nt = rows // tile_m
-    grid = (nt, nt, kw // tile_kw)
+    grid = (rows // ti, rows // tj, kw // tile_kw)
 
-    tri = triangle and nt > 1
+    tri = triangle and rows > max(ti, tj)
     cost = pl.CostEstimate(
         flops=2 * rows * rows * 16 * kw // (2 if tri else 1),
-        bytes_accessed=2 * rows * kw * 4 * nt + rows * rows * 4,
+        bytes_accessed=2 * rows * kw * 4 * (rows // ti) + rows * rows * 4,
         transcendentals=0,
     )
     w = call32(pl.pallas_call(
-        _crossprod_tri_kernel if tri else _crossprod_kernel,
+        (functools.partial(_crossprod_tri_kernel, ti=ti, tj=tj)
+         if tri else _crossprod_kernel),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_m, tile_kw), lambda i, j, k: (i, k)),
-            pl.BlockSpec((tile_m, tile_kw), lambda i, j, k: (j, k)),
+            pl.BlockSpec((ti, tile_kw), lambda i, j, k: (i, k)),
+            pl.BlockSpec((tj, tile_kw), lambda i, j, k: (j, k)),
         ],
-        out_specs=pl.BlockSpec((tile_m, tile_m), lambda i, j, k: (i, j)),
+        out_specs=pl.BlockSpec((ti, tj), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((rows, rows), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -141,11 +156,14 @@ def packed_crossprod(
     ), zq, zq)
     if not tri:
         return w
-    # mirror: M = W + Wᵀ − blockdiag(W)  (diagonal tiles were fully computed
-    # and are symmetric, so W + Wᵀ double-counts exactly them)
-    blk = jnp.arange(rows, dtype=jnp.int32) // tile_m
-    diag_mask = (blk[:, None] == blk[None, :]).astype(w.dtype)
-    return w + w.T - w * diag_mask
+    # reconstruct: element (r, c) was computed iff its BLOCK touches or
+    # crosses the diagonal; otherwise take the mirrored element (computed
+    # on the other side).  Diagonal-crossing blocks are computed fully and
+    # correctly on both sides, so `where` (not add) is the right merge.
+    r_blk = jnp.arange(rows, dtype=jnp.int32) // ti * ti
+    c_blk = jnp.arange(rows, dtype=jnp.int32) // tj * tj
+    computed = (c_blk[None, :] + tj) > r_blk[:, None]
+    return jnp.where(computed, w, w.T)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "tile_kw", "interpret"))
