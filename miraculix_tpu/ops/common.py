@@ -72,6 +72,10 @@ def pick_tile(dim: int, preferred: int, minimum: int) -> int:
     (All library packings pad to multiples of 256, so this only fires on
     hand-built buffers with unaligned padding.)
     """
+    if preferred < minimum:
+        raise ValueError(
+            f"requested tile {preferred} is below the minimum {minimum} "
+            f"(Mosaic block shapes need the trailing dim % {minimum})")
     t = preferred
     while t >= minimum:
         if dim % t == 0:

@@ -127,8 +127,11 @@ def packed_crossprod(
             "accumulator (limit ~536M); chunk the SNP axis and sum partials")
     if tile_m is not None:
         tile_i = tile_j = tile_m
-    ti = pick_tile(rows, tile_i, 8)
-    tj = pick_tile(rows, tile_j, 8)
+    # out blocks are (ti, tj): Mosaic needs the last dim % 128 (and the
+    # second-to-last % 8), so row tiles below 128 cannot lower — fail with
+    # the clear pick_tile message instead of the Mosaic one
+    ti = pick_tile(rows, tile_i, 128)
+    tj = pick_tile(rows, tile_j, 128)
     tile_kw = pick_tile(kw, tile_kw, 128)
     grid = (rows // ti, rows // tj, kw // tile_kw)
 
@@ -187,8 +190,8 @@ def packed_crossprod_rect(
         raise ValueError(
             f"{16 * kw} packed SNP columns could overflow the exact int32 "
             "accumulator (limit ~536M); chunk the SNP axis and sum partials")
-    tile_a = pick_tile(rows_a, tile_m, 8)
-    tile_b = pick_tile(rows_b, tile_m, 8)
+    tile_a = pick_tile(rows_a, tile_m, 128)
+    tile_b = pick_tile(rows_b, tile_m, 128)
     grid = (rows_a // tile_a, rows_b // tile_b, kw // pick_tile(kw, tile_kw, 128))
     tkw = pick_tile(kw, tile_kw, 128)
     return call32(pl.pallas_call(
