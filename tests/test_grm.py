@@ -92,3 +92,15 @@ def test_ld_blocked_matches_ld(rng):
     want = np.asarray(mx.ld(gm))
     got = ld_blocked(gm, row_block=512)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_crossprod_rejects_sub128_row_tile(rng):
+    """Row tiles below the Mosaic 128-lane floor must fail with the clear
+    pick_tile message, not a Mosaic lowering error (ops/common.pick_tile)."""
+    import pytest
+    from miraculix_tpu.ops.grm import packed_crossprod
+
+    g = (rng.random((256, 512)) * 3).astype(np.int8)
+    gm = mx.from_dense(g)
+    with pytest.raises(ValueError, match="below the minimum 128"):
+        packed_crossprod(gm.zq_n, tile_i=64, interpret=True)
