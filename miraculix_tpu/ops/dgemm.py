@@ -75,8 +75,8 @@ def _pmm_kernel_split(zq_ref, bcat_ref, out_ref, *, n):
         out_ref[...] = out_ref[...] + prod
 
 
-def _pmm_tall_kernel(bt_ref, zq_ref, out_ref, *, f32=False):
-    """out[2n, 16*tile_kw] += Bᵀ-tile @ decode(zq-tile).
+def _pmm_tall_kernel(bt_ref, zq_ref, out_ref, *, mode="split"):
+    """out[rows, 16*tile_kw] += Bᵀ-tile @ decode(zq-tile).
 
     The "tall" schedule for skinny RHS (n < 64): the decoded genotype tile
     is the MXU's stationary operand with the BIG axis on the 128 lanes, and
@@ -84,14 +84,27 @@ def _pmm_tall_kernel(bt_ref, zq_ref, out_ref, *, f32=False):
     uses for skinny matmuls.  At ncol=32 this measures 44 Tops/s (~90% of
     bf16 MXU peak) vs 19 Tops/s for the wide schedule on v5e, because the
     wide schedule pads N=2n up to the 128-lane width.
+
+    In "split" mode ``bt_ref`` arrives as f32 rows and the bf16 hi/lo split
+    happens HERE, not in an XLA prepass: at K=1M the host-side
+    split+concat is an O(K·n) bandwidth pass worth ~18% of the whole step
+    (measured 2.83→2.33 ms on v5e).  Explicit casts are safe inside the
+    kernel — Mosaic has no excess-precision folding pass.
     """
     k = pl.program_id(1)
-    if f32:
+    if mode == "f32":
         d = decode_planar16_scaled(zq_ref[...], jnp.float32)
         prod = jax.lax.dot_general(
             bt_ref[...], d, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
+    elif mode == "split":
+        d = decode_planar16_scaled(zq_ref[...], jnp.bfloat16)
+        bt32 = bt_ref[...]
+        bhi = bt32.astype(jnp.bfloat16)
+        blo = (bt32 - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        bcat = jnp.concatenate([bhi, blo], axis=0)
+        prod = jnp.dot(bcat, d, preferred_element_type=jnp.float32)
     else:
         d = decode_planar16_scaled(zq_ref[...], jnp.bfloat16)
         prod = jnp.dot(bt_ref[...], d, preferred_element_type=jnp.float32)
@@ -286,38 +299,44 @@ def packed_matmul_tall(
     tile_kw = pick_tile(kwi, tile_kw, 128)
     ni = kwi // tile_kw
 
-    bpad = jnp.zeros((spad, n), jnp.float32).at[:contract].set(
-        b.astype(jnp.float32))
-    bt = bpad.T
-    if mode == "bf16":
-        bcat = bt.astype(jnp.bfloat16)                # [n, spad]
-        rows2 = n
-    elif mode == "f32":
-        bcat = bt                                     # [n, spad] f32
-        rows2 = n
-    else:  # split
-        bhi_f32 = jax.lax.reduce_precision(bt, exponent_bits=8, mantissa_bits=7)
-        bhi = bhi_f32.astype(jnp.bfloat16)
-        blo = (bt - bhi_f32).astype(jnp.bfloat16)
-        bcat = jnp.concatenate([bhi, blo], axis=0)    # [2n, spad]
-        rows2 = 2 * n
-    granule = 8 if mode == "f32" else 16              # sublane granularity
-    rows_pad = max(granule, ((rows2 + granule - 1) // granule) * granule)
-    if rows_pad != rows2:
-        bcat = jnp.zeros((rows_pad, spad), bcat.dtype).at[:rows2].set(bcat)
+    if mode == "split":
+        # f32 rows in, hi/lo split inside the kernel (see _pmm_tall_kernel):
+        # no O(K·n) XLA prepass beyond pad+transpose.
+        npad = max(16, ((n + 15) // 16) * 16)
+        if contract == spad and n == npad:
+            bcat = b.astype(jnp.float32).T
+        else:
+            bcat = jnp.zeros((spad, npad), jnp.float32).at[:contract, :n].set(
+                b.astype(jnp.float32)).T
+        in_rows, rows_pad = npad, 2 * npad
+        bytes_b = bcat.size * 4
+    else:
+        bpad = jnp.zeros((spad, n), jnp.float32).at[:contract].set(
+            b.astype(jnp.float32))
+        bt = bpad.T
+        if mode == "bf16":
+            bcat = bt.astype(jnp.bfloat16)            # [n, spad]
+        else:                                         # f32
+            bcat = bt                                 # [n, spad] f32
+        granule = 8 if mode == "f32" else 16          # sublane granularity
+        rows_pad = max(granule, ((n + granule - 1) // granule) * granule)
+        if rows_pad != n:
+            bcat = jnp.zeros((rows_pad, spad), bcat.dtype).at[:n].set(bcat)
+        in_rows = rows_pad
+        bytes_b = bcat.size * bcat.dtype.itemsize
 
     grid = (ni, spad // tile_s)
     cost = pl.CostEstimate(
         flops=2 * rows_pad * spad * 16 * kwi,
-        bytes_accessed=zq_other.size * 4 * ni + bcat.size * 2
+        bytes_accessed=zq_other.size * 4 * ni + bytes_b
         + rows_pad * 16 * kwi * 4,
         transcendentals=0,
     )
     out = call32(pl.pallas_call(
-        functools.partial(_pmm_tall_kernel, f32=(mode == "f32")),
+        functools.partial(_pmm_tall_kernel, mode=mode),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rows_pad, tile_s), lambda i, k: (0, k)),
+            pl.BlockSpec((in_rows, tile_s), lambda i, k: (0, k)),
             pl.BlockSpec((tile_s, tile_kw), lambda i, k: (k, i)),
         ],
         out_specs=pl.BlockSpec((rows_pad, 16 * tile_kw), lambda i, k: (0, i)),
@@ -328,7 +347,7 @@ def packed_matmul_tall(
         cost_estimate=cost,
         interpret=interpret,
     ), bcat, zq_other)
-    ct = out[:n] if mode in ("bf16", "f32") else out[:n] + out[n:rows2]
+    ct = out[:n] if mode in ("bf16", "f32") else out[:n] + out[in_rows:in_rows + n]
     # undo the mask-only decode's 4^m plane factor and restore natural
     # column order: block i holds (plane m, word t) at i*16*tkw + m*tkw + t;
     # the natural position is m*kwi + i*tkw + t.
