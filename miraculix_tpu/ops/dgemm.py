@@ -75,6 +75,32 @@ def _pmm_kernel_split(zq_ref, bcat_ref, out_ref, *, n):
         out_ref[...] = out_ref[...] + prod
 
 
+def _pmm_kernel_split_wide(zq_ref, b_ref, out_ref):
+    """acc += decode(zq) @ b_hi + decode(zq) @ b_lo, split done HERE.
+
+    For n > 64 both MXU pass counts are identical (each half pads to the
+    128-lane width anyway), so the two-dot form loses nothing — and taking
+    the f32 RHS tile directly kills the O(16·kw·n) host-side
+    split+concat prepass.  In-kernel casts are safe: Mosaic has no
+    excess-precision folding pass (cf. the reduce_precision note below).
+    """
+    k = pl.program_id(1)
+    d = decode_planar16_scaled(zq_ref[...], jnp.bfloat16)
+    b32 = b_ref[...]
+    bhi = b32.astype(jnp.bfloat16)
+    blo = (b32 - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    prod = (jnp.dot(d, bhi, preferred_element_type=jnp.float32)
+            + jnp.dot(d, blo, preferred_element_type=jnp.float32))
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[...] = prod
+
+    @pl.when(k != 0)
+    def _acc():
+        out_ref[...] = out_ref[...] + prod
+
+
 def _pmm_tall_kernel(bt_ref, zq_ref, out_ref, *, mode="split"):
     """out[rows, 16*tile_kw] += Bᵀ-tile @ decode(zq-tile).
 
@@ -236,6 +262,40 @@ def packed_matmul(
             interpret=interpret,
         ), zq, b2.astype(jnp.bfloat16))
     if split:
+        if n > 64:
+            # split inside the kernel: for n > 64 the two-dot form costs the
+            # same MXU passes as the N-concat trick and skips the host-side
+            # split+concat prepass entirely.  The f32 RHS tile plus the hi/lo
+            # temporaries cost ~2 MB more VMEM than the host-concat form, so
+            # shrink tiles until the working set clears Mosaic's 16 MB
+            # scoped-VMEM stack (with headroom for Mosaic's own margins).
+            def vmem_est(tr, tkw):
+                return (tr * 16 * tkw * 2          # decoded genotype tile bf16
+                        + 16 * tkw * n * (4 + 2 + 2)  # b32 + bhi + blo
+                        + 2 * tr * n * 4           # prod + out accumulator
+                        + tr * tkw * 4)            # packed zq tile
+            while vmem_est(tile_r, tile_kw) > 13 * 2**20 and tile_kw > 128:
+                tile_kw //= 2
+            while vmem_est(tile_r, tile_kw) > 13 * 2**20 and tile_r > 256:
+                tile_r //= 2
+            nk = kw // tile_kw
+            grid = (rows // tile_r, nk)
+            # the RHS row reordering is tile_kw-dependent — redo it if the
+            # budget loop shrank the tile
+            b2 = _reorder_rhs(b.astype(jnp.float32), cols, kw, tile_kw)
+            zq_spec = pl.BlockSpec((tile_r, tile_kw), lambda r, k: (r, k))
+            b_spec = pl.BlockSpec((16 * tile_kw, n), lambda r, k: (k, 0))
+            out_spec = pl.BlockSpec((tile_r, n), lambda r, k: (r, 0))
+            return call32(pl.pallas_call(
+                _pmm_kernel_split_wide,
+                grid=grid,
+                in_specs=[zq_spec, b_spec],
+                out_specs=out_spec,
+                out_shape=out_shape,
+                compiler_params=params,
+                cost_estimate=cost,
+                interpret=interpret,
+            ), zq, b2)
         # NB: must use reduce_precision, not astype(bf16).astype(f32) — XLA's
         # allow-excess-precision pass elides downcast/upcast pairs and would
         # fold blo to 0, silently degrading the split to single-bf16.
