@@ -230,8 +230,29 @@ def packed_matmul(
     cols, n = b.shape
     tile_r = pick_tile(rows, tile_r, 8)
     tile_kw = pick_tile(kw, tile_kw, 128)
-    nk = kw // tile_kw
 
+    split_in_kernel = split and not single_bf16 and n > 64
+    if split_in_kernel:
+        # The in-kernel hi/lo split (see _pmm_kernel_split_wide) keeps the
+        # f32 RHS tile plus two bf16 temporaries live — ~2 MB more VMEM
+        # than the host-concat form — so shrink tiles until the working set
+        # clears Mosaic's 16 MB scoped-VMEM stack (with headroom for
+        # Mosaic's own margins).  Halving only while the result still
+        # divides the axis and respects the 128 trailing-dim minimum.
+        def vmem_est(tr, tkw):
+            return (tr * 16 * tkw * 2             # decoded genotype tile bf16
+                    + 16 * tkw * n * (4 + 2 + 2)  # b32 + bhi + blo
+                    + 2 * tr * n * 4              # prod + out accumulator
+                    + tr * tkw * 4)               # packed zq tile
+        budget = 13 * 2**20
+        while (vmem_est(tile_r, tile_kw) > budget
+               and tile_kw // 2 >= 128 and kw % (tile_kw // 2) == 0):
+            tile_kw //= 2
+        while (vmem_est(tile_r, tile_kw) > budget
+               and tile_r // 2 >= 256 and rows % (tile_r // 2) == 0):
+            tile_r //= 2
+
+    nk = kw // tile_kw
     b2 = _reorder_rhs(b.astype(jnp.float32), cols, kw, tile_kw)
     grid = (rows // tile_r, nk)
 
@@ -262,30 +283,9 @@ def packed_matmul(
             interpret=interpret,
         ), zq, b2.astype(jnp.bfloat16))
     if split:
-        if n > 64:
-            # split inside the kernel: for n > 64 the two-dot form costs the
-            # same MXU passes as the N-concat trick and skips the host-side
-            # split+concat prepass entirely.  The f32 RHS tile plus the hi/lo
-            # temporaries cost ~2 MB more VMEM than the host-concat form, so
-            # shrink tiles until the working set clears Mosaic's 16 MB
-            # scoped-VMEM stack (with headroom for Mosaic's own margins).
-            def vmem_est(tr, tkw):
-                return (tr * 16 * tkw * 2          # decoded genotype tile bf16
-                        + 16 * tkw * n * (4 + 2 + 2)  # b32 + bhi + blo
-                        + 2 * tr * n * 4           # prod + out accumulator
-                        + tr * tkw * 4)            # packed zq tile
-            while vmem_est(tile_r, tile_kw) > 13 * 2**20 and tile_kw > 128:
-                tile_kw //= 2
-            while vmem_est(tile_r, tile_kw) > 13 * 2**20 and tile_r > 256:
-                tile_r //= 2
-            nk = kw // tile_kw
-            grid = (rows // tile_r, nk)
-            # the RHS row reordering is tile_kw-dependent — redo it if the
-            # budget loop shrank the tile
-            b2 = _reorder_rhs(b.astype(jnp.float32), cols, kw, tile_kw)
-            zq_spec = pl.BlockSpec((tile_r, tile_kw), lambda r, k: (r, k))
-            b_spec = pl.BlockSpec((16 * tile_kw, n), lambda r, k: (k, 0))
-            out_spec = pl.BlockSpec((tile_r, n), lambda r, k: (r, 0))
+        if split_in_kernel:
+            # for n > 64 the two-dot form costs the same MXU passes as the
+            # N-concat trick and skips the host-side split+concat prepass
             return call32(pl.pallas_call(
                 _pmm_kernel_split_wide,
                 grid=grid,
