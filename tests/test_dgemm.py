@@ -190,3 +190,25 @@ def test_dgemm_fuzz_shapes(rng):
         scale = max(1.0, np.abs(want).max())
         err = np.abs(c - want).max() / scale
         assert err < 1e-4, (indiv, snps, n, trans, center, err)
+
+
+def test_dgemm_f64_tier_under_x64(rng):
+    """precision='f64' must hold its ~1e-5 grade with jax_enable_x64 on —
+    the mode where callers actually want float64 outputs (regression guard:
+    x64 flips default dtypes through the host-accumulation path)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        g = _panel(rng, 120, 3000)
+        gm = mx.from_dense(g)
+        b = rng.standard_normal((3000, 4))
+        for center in (False, True):
+            c = np.asarray(mx.dgemm(gm, b, trans="n", center=center,
+                                    precision="f64"))
+            assert c.dtype == np.float64
+            want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64),
+                                         center=center)
+            assert np.abs(c - want).max() / np.abs(want).max() < 1e-5
+    finally:
+        jax.config.update("jax_enable_x64", False)
