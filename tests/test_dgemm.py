@@ -192,23 +192,37 @@ def test_dgemm_fuzz_shapes(rng):
         assert err < 1e-4, (indiv, snps, n, trans, center, err)
 
 
-def test_dgemm_f64_tier_under_x64(rng):
-    """precision='f64' must hold its ~1e-5 grade with jax_enable_x64 on —
-    the mode where callers actually want float64 outputs (regression guard:
-    x64 flips default dtypes through the host-accumulation path)."""
-    import jax
+_X64_SCRIPT = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+import miraculix_tpu as mx
+from miraculix_tpu.io import bed
+from miraculix_tpu.ops import ref_impl
+g = bed.simulate_genotypes(120, 3000, seed=11)
+gm = mx.from_dense(g)
+b = np.random.default_rng(0).standard_normal((3000, 4))
+for center in (False, True):
+    c = np.asarray(mx.dgemm(gm, b, trans="n", center=center, precision="f64"))
+    assert c.dtype == np.float64, c.dtype
+    want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64),
+                                 center=center)
+    err = np.abs(c - want).max() / np.abs(want).max()
+    assert err < 1e-5, (center, err)
+print("ok")
+"""
 
-    jax.config.update("jax_enable_x64", True)
-    try:
-        g = _panel(rng, 120, 3000)
-        gm = mx.from_dense(g)
-        b = rng.standard_normal((3000, 4))
-        for center in (False, True):
-            c = np.asarray(mx.dgemm(gm, b, trans="n", center=center,
-                                    precision="f64"))
-            assert c.dtype == np.float64
-            want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64),
-                                         center=center)
-            assert np.abs(c - want).max() / np.abs(want).max() < 1e-5
-    finally:
-        jax.config.update("jax_enable_x64", False)
+
+def test_dgemm_f64_tier_under_x64():
+    """precision='f64' must hold its ~1e-5 grade with jax_enable_x64 on —
+    the mode where callers actually want float64 outputs.  Runs in a
+    subprocess: toggling x64 at runtime poisons jit caches for the rest of
+    the process."""
+    import subprocess
+    import sys
+
+    res = subprocess.run([sys.executable, "-c", _X64_SCRIPT],
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "ok" in res.stdout
