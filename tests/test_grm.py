@@ -104,3 +104,38 @@ def test_crossprod_rejects_sub128_row_tile(rng):
     gm = mx.from_dense(g)
     with pytest.raises(ValueError, match="below the minimum 128"):
         packed_crossprod(gm.zq_n, tile_i=64, interpret=True)
+
+
+def test_crossprod_autopads_odd_row_counts(rng):
+    """Rows whose packing only admits small (or no) power-of-two tiles are
+    zero-padded inside packed_crossprod — exactly, since zero rows give zero
+    products (the 21k-individual reference panels hit this: 21248 rows only
+    admit 256-tiles, padded 21504 runs 512-tiles at +23% throughput)."""
+    from miraculix_tpu.io import codec
+    from miraculix_tpu.ops.grm import packed_crossprod
+
+    # 3968 rows = 128*31: best divisor 128 < the 512 default and padding to
+    # 4096 costs <= 10% extra work -> pads, runs 512-tiles, slices back
+    g = (rng.random((3968, 512)) * 3).astype(np.int8)
+    zq = codec.pack_planar16(g, row_mult=128)
+    assert zq.shape[0] == 3968
+    m = np.asarray(packed_crossprod(zq, interpret=True))
+    want = g.astype(np.int64) @ g.astype(np.int64).T
+    assert m.shape == (3968, 3968)
+    np.testing.assert_array_equal(m, want)
+
+    # 384 rows: padding to 512 would cost +78% work -> stays on 128-tiles
+    g1 = (rng.random((384, 512)) * 3).astype(np.int8)
+    zq1 = codec.pack_planar16(g1, row_mult=128)
+    m1 = np.asarray(packed_crossprod(zq1, interpret=True))
+    np.testing.assert_array_equal(
+        m1, g1.astype(np.int64) @ g1.astype(np.int64).T)
+
+    # 192 rows: no pow2 divisor >= 128 at all -> previously an error, now
+    # padded to the cheapest valid multiple of 128
+    g2 = (rng.random((192, 512)) * 3).astype(np.int8)
+    zq2 = codec.pack_planar16(g2, row_mult=64)
+    assert zq2.shape[0] == 192
+    m2 = np.asarray(packed_crossprod(zq2, interpret=True))
+    np.testing.assert_array_equal(
+        m2, g2.astype(np.int64) @ g2.astype(np.int64).T)
