@@ -98,6 +98,29 @@ def _crossprod_tri_kernel(zi_ref, zj_ref, out_ref, *, ti, tj):
         out_ref[...] = jnp.zeros_like(out_ref)
 
 
+def _autopad_rows(zq: jax.Array, preferred: int) -> jax.Array:
+    """Zero-pad the row axis when that unlocks ``preferred``-sized tiles at
+    <= 10 % extra MXU work, or when no >= 128 tile divides the axis at all.
+
+    Exact: zero rows contribute zero products; callers slice the output
+    back.  21,248 individuals (the padded form of the reference's 21k
+    benchmark panels) only admit 256-tiles; padding to 21,504 runs
+    512-tiles — measured 428 -> 523 T-equiv on v5e.
+    """
+    rows, kw = zq.shape
+    up = -(-rows // preferred) * preferred
+    try:
+        have = pick_tile(rows, preferred, 128)
+    except ValueError:
+        have = 0
+        if up * up * 10 > rows * rows * 11:
+            up = -(-rows // 128) * 128  # cheapest valid padding
+    if have < preferred and (have == 0 or up * up * 10 <= rows * rows * 11):
+        zq = jnp.concatenate(
+            [zq, jnp.zeros((up - rows, kw), zq.dtype)], axis=0)
+    return zq
+
+
 @functools.partial(jax.jit, static_argnames=("tile_i", "tile_j", "tile_kw",
                                               "interpret", "triangle",
                                               "tile_m"))
@@ -132,26 +155,9 @@ def packed_crossprod(
     # the clear pick_tile message instead of the Mosaic one
     if min(tile_i, tile_j) < 128:
         pick_tile(rows, min(tile_i, tile_j), 128)  # raises the clear message
-    # Zero-pad the row axis when that unlocks the preferred tile at <= 10 %
-    # extra MXU work, or when no valid tile exists at all.  Zero rows
-    # contribute zero products and the output is sliced back, so this is
-    # exact.  21,248 individuals (the padded form of the reference's 21k
-    # benchmark panels) only admit 256-tiles; padding to 21,504 runs
-    # 512-tiles — measured 428 -> 526 T-equiv on v5e.
     nrows = rows
-    pref = max(tile_i, tile_j)
-    up = -(-rows // pref) * pref
-    try:
-        have = min(pick_tile(rows, tile_i, 128), pick_tile(rows, tile_j, 128))
-    except ValueError:
-        have = 0
-        if up * up * 10 > rows * rows * 11:
-            up = -(-rows // 128) * 128  # cheapest valid padding
-    if (have == 0 or have < min(tile_i, tile_j)) and (
-            have == 0 or up * up * 10 <= rows * rows * 11):
-        rows = up
-        zq = jnp.concatenate(
-            [zq, jnp.zeros((rows - nrows, kw), zq.dtype)], axis=0)
+    zq = _autopad_rows(zq, max(tile_i, tile_j))
+    rows = zq.shape[0]
     ti = pick_tile(rows, tile_i, 128)
     tj = pick_tile(rows, tile_j, 128)
     tile_kw = pick_tile(kw, tile_kw, 128)
@@ -212,6 +218,12 @@ def packed_crossprod_rect(
         raise ValueError(
             f"{16 * kw} packed SNP columns could overflow the exact int32 "
             "accumulator (limit ~536M); chunk the SNP axis and sum partials")
+    if tile_m < 128:
+        pick_tile(rows_a, tile_m, 128)  # raises the clear message
+    na, nb = rows_a, rows_b
+    zq_a = _autopad_rows(zq_a, tile_m)
+    zq_b = _autopad_rows(zq_b, tile_m)
+    rows_a, rows_b = zq_a.shape[0], zq_b.shape[0]
     tile_a = pick_tile(rows_a, tile_m, 128)
     tile_b = pick_tile(rows_b, tile_m, 128)
     grid = (rows_a // tile_a, rows_b // tile_b, kw // pick_tile(kw, tile_kw, 128))
@@ -229,7 +241,7 @@ def packed_crossprod_rect(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    ), zq_a, zq_b)
+    ), zq_a, zq_b)[:na, :nb]
 
 
 def snp_crossprod(
