@@ -212,6 +212,70 @@ def bench_grm(panel: str, iters: int = 8, comparator: bool = False) -> dict:
     return out
 
 
+def bench_grm_ref_panel(iters: int = 2) -> dict:
+    """The reference's flagship GRM benchmark: 1M SNPs x 21,000 individuals
+    (utils/genotype_simulation_plink/Makefile:1-9, benchmarked there against
+    PLINK --make-rel / GCTA).  The packed panel (5.6 GB) plus the int32
+    output exceed what a host round-trip makes practical, so genotypes are
+    generated as packed words on-device and the K-sweep runs as one jitted
+    fori_loop accumulating exact int32 partials."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.grm import packed_crossprod
+
+    rows, kw_chunk, chunks = 21248, 4096, 16   # 16*4096*16 = 1,048,576 SNPs
+    full_ops = 2.0 * rows * rows * 16 * kw_chunk * chunks
+
+    def gen_words(key):
+        r = jax.random.bits(key, (rows, kw_chunk), jnp.uint32).astype(jnp.int32)
+        a = r & 0x55555555
+        b = (r >> 1) & 0x55555555
+        return (((b & ~a) << 1) | (a & ~b))   # every 2-bit field in {0,1,2}
+
+    def sweep(carry):
+        def chunk(_, carry):
+            key, acc = carry
+            key, sub = jax.random.split(key)
+            return (key, acc + packed_crossprod(gen_words(sub)))
+        return jax.lax.fori_loop(0, chunks, chunk, carry)
+
+    def mk(nit):
+        @jax.jit
+        def many(key):
+            acc = jnp.zeros((rows, rows), jnp.int32)
+            def body(carry, _):
+                return sweep(carry), None
+            (key, acc), _ = jax.lax.scan(body, (key, acc), None, length=nit)
+            return acc[0, 0]
+        return many
+
+    k = jax.random.PRNGKey(0)
+    f1, fn_n = mk(1), mk(iters + 1)
+    int(f1(k))
+    int(fn_n(k))
+
+    def t(f):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            int(f(k))
+            best = min(best, time.time() - t0)
+        return best
+
+    per = _diff_per_iter(t(fn_n), t(f1), iters)
+    return {
+        "suite": "grm",
+        "panel": "ref_many_snps",
+        "config": f"{16 * kw_chunk * chunks}x{rows} ZZ^T int8, "
+                  f"{chunks} K-chunks, on-device gen",
+        "seconds_per_call": round(per, 3),
+        "snp_indiv2_ops_per_s": full_ops / per,
+        "mxu_utilization_triangle": round(
+            (full_ops / 2) / per / PEAK_INT8_OPS, 3),
+    }
+
+
 def bench_scaling(n_devices: Optional[int] = None, snps: int = 131072,
                   indiv: int = 1024, ncol: int = 8) -> dict:
     """SNP-sharded dgemm scaling efficiency across the available mesh
@@ -270,7 +334,10 @@ def main(argv=None) -> int:
                                          comparator=args.comparator)))
     if args.suite in ("grm", "all"):
         for p in args.panels:
-            print(json.dumps(bench_grm(p, comparator=args.comparator)))
+            if p == "ref_many_snps":
+                print(json.dumps(bench_grm_ref_panel()))
+            else:
+                print(json.dumps(bench_grm(p, comparator=args.comparator)))
     if args.suite in ("scaling", "all"):
         print(json.dumps(bench_scaling()))
     return 0
