@@ -14,6 +14,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <new>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -182,6 +183,41 @@ void mx_transpose_u8(const uint8_t* in, int64_t rows, int64_t cols,
 // both frequency denominators.  zqt, zqn and pfreq may each be NULL to
 // skip that output (freq is always computed): out-of-core GRM needs only
 // zqn + freq and must not pay for the 25 GB transposed packing.
+namespace {
+// Per-.bed-byte lookup tables: a byte holds 4 PLINK 2-bit codes.  dec4 is
+// the 4 decoded genotypes re-packed 2-bit (missing -> 0), sum4/cnt4 the
+// non-missing sum/count, miss4 a 4-bit missing mask.  One table lookup
+// replaces four decode+branch iterations in both ingestion passes.
+struct BedLuts {
+    uint8_t dec4[256];
+    uint8_t sum4[256];
+    uint8_t cnt4[256];
+    uint8_t miss4[256];
+    BedLuts() {
+        static const uint8_t dec[4] = {0u, 3u, 1u, 2u};
+        for (int b = 0; b < 256; ++b) {
+            uint8_t d4 = 0, s = 0, c = 0, mm = 0;
+            for (int j = 0; j < 4; ++j) {
+                uint8_t g = dec[(b >> (2 * j)) & 3];
+                if (g == 3u) {
+                    mm |= (uint8_t)(1u << j);
+                    g = 0u;
+                } else {
+                    s = (uint8_t)(s + g);
+                    c = (uint8_t)(c + 1);
+                }
+                d4 |= (uint8_t)(g << (2 * j));
+            }
+            dec4[b] = d4;
+            sum4[b] = s;
+            cnt4[b] = c;
+            miss4[b] = mm;
+        }
+    }
+};
+const BedLuts LUT;
+}  // namespace
+
 void mx_bed_ingest(const uint8_t* payload, int64_t snps, int64_t indiv,
                    int64_t spad, int64_t kwi, int64_t ipad, int64_t kws,
                    uint32_t* zqt, uint32_t* zqn,
@@ -199,7 +235,42 @@ void mx_bed_ingest(const uint8_t* payload, int64_t snps, int64_t indiv,
         }
         const uint8_t* row = payload + s * nbytes;
         int64_t sum = 0, called = 0;
-        if (dst) {
+        if (dst && (kwi & 3) == 0) {
+            // plane-major fast path: within plane m the genotypes for words
+            // c..c+3 sit in ONE byte (kwi % 4 == 0 keeps planes
+            // byte-aligned), so each byte is one LUT hit + 4 ORs
+            std::memset(dst, 0, (size_t)kwi * 4);
+            for (int m = 0; m < 16; ++m) {
+                int64_t base = (int64_t)m * kwi;
+                if (base >= indiv) break;
+                uint32_t shift = (uint32_t)(2 * m);
+                int64_t lim = indiv - base;
+                int64_t full = lim >= kwi ? kwi : (lim & ~3LL);
+                const uint8_t* src = row + (base >> 2);
+                int64_t c = 0;
+                for (; c < full; c += 4) {
+                    uint8_t b = src[c >> 2];
+                    uint32_t d = LUT.dec4[b];
+                    sum += LUT.sum4[b];
+                    called += LUT.cnt4[b];
+                    dst[c] |= (d & 3u) << shift;
+                    dst[c + 1] |= ((d >> 2) & 3u) << shift;
+                    dst[c + 2] |= ((d >> 4) & 3u) << shift;
+                    dst[c + 3] |= ((d >> 6) & 3u) << shift;
+                }
+                for (; c < kwi && base + c < indiv; ++c) {
+                    int64_t idx = base + c;
+                    uint32_t g = dec[(row[idx >> 2] >> (2 * (idx & 3))) & 3u];
+                    if (g == 3u) {
+                        g = 0u;
+                    } else {
+                        sum += g;
+                        called += 1;
+                    }
+                    dst[c] |= g << shift;
+                }
+            }
+        } else if (dst) {
             for (int64_t c = 0; c < kwi; ++c) {
                 uint32_t w = 0;
                 for (int m = 0; m < 16; ++m) {
@@ -216,8 +287,13 @@ void mx_bed_ingest(const uint8_t* payload, int64_t snps, int64_t indiv,
                 }
                 dst[c] = w;
             }
-        } else {  // freq-only scan: one linear pass over the SNP's bytes
-            for (int64_t i = 0; i < indiv; ++i) {
+        } else {  // freq-only scan: byte LUTs over the SNP's full bytes
+            int64_t fb = indiv >> 2;
+            for (int64_t k = 0; k < fb; ++k) {
+                sum += LUT.sum4[row[k]];
+                called += LUT.cnt4[row[k]];
+            }
+            for (int64_t i = 4 * fb; i < indiv; ++i) {
                 uint32_t g = dec[(row[i >> 2] >> (2 * (i & 3))) & 3u];
                 if (g != 3u) {
                     sum += g;
@@ -231,6 +307,16 @@ void mx_bed_ingest(const uint8_t* payload, int64_t snps, int64_t indiv,
     // pass 2: zq_n rows (decoded columns = SNPs) + per-individual freq.
     // Parallel over byte-rows (4 individuals each); s/kws is the plane.
     if (!zqn && !pfreq) return;
+    // Column-strided payload reads cost an L2 hit per byte; for payloads up
+    // to 2 GB a blocked byte-transpose (two streaming passes) makes the
+    // per-individual sweep sequential — measured 0.40 -> 0.17 s on the
+    // 20k x 8k panel.  Larger payloads (the 25 GB out-of-core case) keep
+    // the strided path rather than doubling peak host memory.
+    uint8_t* payT = nullptr;
+    if (snps * nbytes <= (int64_t)1 << 31) {
+        payT = new (std::nothrow) uint8_t[(size_t)(snps * nbytes)];
+        if (payT) mx_transpose_u8(payload, snps, nbytes, payT);
+    }
 #pragma omp parallel for schedule(static)
     for (int64_t b = 0; b < (ipad + 3) / 4; ++b) {
         uint32_t* dst[4];
@@ -241,21 +327,52 @@ void mx_bed_ingest(const uint8_t* payload, int64_t snps, int64_t indiv,
             if (dst[j]) std::memset(dst[j], 0, (size_t)kws * 4);
         }
         if (4 * b >= indiv) continue;  // pure padding rows: zeroed above
-        for (int64_t s = 0; s < snps; ++s) {
-            uint8_t byte = payload[s * nbytes + b];
-            int64_t m = s / kws, c = s - m * kws;
-            uint32_t shift = (uint32_t)(2 * m);
-            for (int j = 0; j < 4; ++j) {
-                int64_t i = 4 * b + j;
-                if (i >= indiv) break;
-                uint32_t g = dec[(byte >> (2 * j)) & 3u];
-                if (g == 3u) {
-                    g = 0u;
-                } else {
-                    sum[j] += g;
-                    called[j] += 1;
+        if (zqn && 4 * b + 3 < indiv) {
+            // fast path: all 4 individuals of this byte-column are real, so
+            // decode the byte once via LUT, plane loop hoisted (no per-SNP
+            // division), no per-genotype branches
+            int64_t s = 0;
+            for (int m = 0; s < snps; ++m) {
+                uint32_t shift = (uint32_t)(2 * m);
+                int64_t cend = snps - s < kws ? snps - s : kws;
+                const uint8_t* col = payT ? payT + b * snps + s
+                                          : payload + s * nbytes + b;
+                const int64_t step = payT ? 1 : nbytes;
+                for (int64_t c = 0; c < cend; ++c, ++s, col += step) {
+                    uint8_t byte = *col;
+                    uint32_t d = LUT.dec4[byte];
+                    uint32_t mm = LUT.miss4[byte];
+                    sum[0] += d & 3u;
+                    sum[1] += (d >> 2) & 3u;
+                    sum[2] += (d >> 4) & 3u;
+                    sum[3] += (d >> 6) & 3u;
+                    called[0] += 1 - (mm & 1u);
+                    called[1] += 1 - ((mm >> 1) & 1u);
+                    called[2] += 1 - ((mm >> 2) & 1u);
+                    called[3] += 1 - ((mm >> 3) & 1u);
+                    dst[0][c] |= (d & 3u) << shift;
+                    dst[1][c] |= ((d >> 2) & 3u) << shift;
+                    dst[2][c] |= ((d >> 4) & 3u) << shift;
+                    dst[3][c] |= ((d >> 6) & 3u) << shift;
                 }
-                if (dst[j]) dst[j][c] |= g << shift;
+            }
+        } else {
+            for (int64_t s = 0; s < snps; ++s) {
+                uint8_t byte = payload[s * nbytes + b];
+                int64_t m = s / kws, c = s - m * kws;
+                uint32_t shift = (uint32_t)(2 * m);
+                for (int j = 0; j < 4; ++j) {
+                    int64_t i = 4 * b + j;
+                    if (i >= indiv) break;
+                    uint32_t g = dec[(byte >> (2 * j)) & 3u];
+                    if (g == 3u) {
+                        g = 0u;
+                    } else {
+                        sum[j] += g;
+                        called[j] += 1;
+                    }
+                    if (dst[j]) dst[j][c] |= g << shift;
+                }
             }
         }
         if (pfreq) {
@@ -267,8 +384,9 @@ void mx_bed_ingest(const uint8_t* payload, int64_t snps, int64_t indiv,
             }
         }
     }
+    delete[] payT;
 }
 
-int mx_codec_version(void) { return 3; }
+int mx_codec_version(void) { return 4; }
 
 }  // extern "C"
