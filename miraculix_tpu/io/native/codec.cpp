@@ -313,7 +313,7 @@ void mx_bed_ingest(const uint8_t* payload, int64_t snps, int64_t indiv,
     // 20k x 8k panel.  Larger payloads (the 25 GB out-of-core case) keep
     // the strided path rather than doubling peak host memory.
     uint8_t* payT = nullptr;
-    if (snps * nbytes <= (int64_t)1 << 31) {
+    if (zqn && indiv >= 4 && snps * nbytes <= (int64_t)1 << 31) {
         payT = new (std::nothrow) uint8_t[(size_t)(snps * nbytes)];
         if (payT) mx_transpose_u8(payload, snps, nbytes, payT);
     }
