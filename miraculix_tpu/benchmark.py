@@ -271,6 +271,52 @@ def bench_grm_ref_panel(iters: int = 2) -> dict:
     }
 
 
+def bench_ld(panel: str, iters: int = 4) -> dict:
+    """Full LD pipeline (crossproduct + centering + sigma-normalize), the
+    reference's LD suite role (benchmark_suite.jl:40, vs plink --r).  Only
+    panels whose [snps, snps] f32 output fits HBM are meaningful single-chip
+    (larger SNP counts go through ops.grm.ld_blocked out-of-core)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .geno import from_dense
+    from .io import bed
+    from .ops.grm import ld
+
+    p = PANELS[panel]
+    snps, indiv = p["snps"], p["indiv"]
+    if snps * snps * 4 > 8e9:
+        return {"suite": "ld", "panel": panel,
+                "skipped": "snps^2 f32 output exceeds single-chip HBM; "
+                           "use ops.grm.ld_blocked"}
+    g = bed.simulate_genotypes(indiv, snps, seed=0)
+    gm = from_dense(g)
+
+    def mk(nit):
+        @jax.jit
+        def many(gmx):
+            def body(z, _):
+                m = ld(gmx, interpret=False)
+                s = (m[0, 1] * 1e-30).astype(jnp.float32)
+                return z * (1 + s), None
+            zf, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=nit)
+            return zf
+        return many
+
+    f1, fn_n = mk(1), mk(iters + 1)
+    float(f1(gm))
+    float(fn_n(gm))
+    per = _interleaved_per_iter(lambda: float(f1(gm)),
+                                lambda: float(fn_n(gm)), iters)
+    return {
+        "suite": "ld",
+        "panel": panel,
+        "config": f"{snps}x{indiv} LD r (centered, normalized)",
+        "seconds_per_call": round(per, 6),
+        "snp_pairs_per_s": snps * snps / per,
+    }
+
+
 def bench_scaling(n_devices: Optional[int] = None, snps: int = 131072,
                   indiv: int = 1024, ncol: int = 8) -> dict:
     """SNP-sharded dgemm scaling efficiency across the available mesh
@@ -317,7 +363,7 @@ def bench_scaling(n_devices: Optional[int] = None, snps: int = 131072,
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="miraculix_tpu.benchmark")
     ap.add_argument("--suite", default="all",
-                    choices=["dgemm", "grm", "scaling", "all"])
+                    choices=["dgemm", "grm", "ld", "scaling", "all"])
     ap.add_argument("--panels", nargs="*", default=["small"])
     ap.add_argument("--ncol", type=int, default=32)
     ap.add_argument("--comparator", action="store_true")
@@ -335,6 +381,10 @@ def main(argv=None) -> int:
                 print(json.dumps(bench_grm_ref_panel()))
             else:
                 print(json.dumps(bench_grm(p, comparator=args.comparator)))
+    if args.suite in ("ld", "all"):
+        for p in args.panels:
+            if p in PANELS:
+                print(json.dumps(bench_ld(p)))
     if args.suite in ("scaling", "all"):
         print(json.dumps(bench_scaling()))
     return 0
