@@ -1,0 +1,58 @@
+"""Dispatch-level tests for the benchmark suite CLI.
+
+The bench functions themselves need the real TPU; these tests stub them
+and check main()'s suite/panel routing — the layer that broke when a
+grm-only panel name (ref_many_snps) crashed the dgemm branch.
+"""
+import json
+
+import miraculix_tpu.benchmark as bm
+
+
+def _run(monkeypatch, capsys, argv):
+    calls = []
+
+    def stub(name):
+        def f(panel=None, **kw):
+            calls.append((name, panel))
+            return {"suite": name, "panel": panel}
+        return f
+
+    monkeypatch.setattr(bm, "bench_dgemm", stub("dgemm"))
+    monkeypatch.setattr(bm, "bench_grm", stub("grm"))
+    monkeypatch.setattr(bm, "bench_ld", stub("ld"))
+    monkeypatch.setattr(bm, "bench_grm_ref_panel",
+                        lambda **kw: calls.append(("ref", None))
+                        or {"suite": "grm", "panel": "ref_many_snps"})
+    monkeypatch.setattr(bm, "bench_scaling",
+                        lambda **kw: {"suite": "scaling"})
+    assert bm.main(argv) == 0
+    out = [json.loads(line) for line in
+           capsys.readouterr().out.strip().splitlines()]
+    return calls, out
+
+
+def test_suite_all_skips_grm_only_panels(monkeypatch, capsys):
+    calls, out = _run(monkeypatch, capsys,
+                      ["--suite", "all", "--panels", "small", "ref_many_snps"])
+    # dgemm and ld must silently skip ref_many_snps, grm must run it
+    assert ("dgemm", "small") in calls
+    assert ("dgemm", "ref_many_snps") not in calls
+    assert ("ld", "ref_many_snps") not in calls
+    assert ("ref", None) in calls
+    assert ("grm", "small") in calls
+    assert any(o.get("suite") == "scaling" for o in out)
+
+
+def test_single_suite_routing(monkeypatch, capsys):
+    calls, out = _run(monkeypatch, capsys,
+                      ["--suite", "grm", "--panels", "ref_many_snps"])
+    assert calls == [("ref", None)]
+    assert out == [{"suite": "grm", "panel": "ref_many_snps"}]
+
+
+def test_ld_skip_row_for_oversized_panels():
+    # real bench_ld short-circuits before any device work for panels whose
+    # snps^2 output exceeds HBM — callable on CPU
+    row = bm.bench_ld("small")
+    assert row["suite"] == "ld" and "skipped" in row
