@@ -32,6 +32,14 @@ def cmd_info(args) -> int:
 def cmd_simulate(args) -> int:
     from .io import bed
 
+    if args.stream_chunk > 0:
+        # arbitrary-size panels: stream SNP chunks to disk, never holding
+        # the dense matrix (reference `plink --simulate` role for the
+        # large/many_snps panels, utils/genotype_simulation_plink/Makefile)
+        bed.simulate_bed(args.out, n_indiv=args.indiv, n_snps=args.snps,
+                         seed=args.seed, chunk_snps=args.stream_chunk)
+        print(f"wrote {args.out}: {args.indiv} x {args.snps} (streamed)")
+        return 0
     geno = bed.simulate_genotypes(args.indiv, args.snps, seed=args.seed,
                                   missing_rate=args.missing_rate)
     bed.write_bed(args.out, geno)
@@ -142,7 +150,7 @@ def cmd_ld(args) -> int:
 
     out = np.asarray(ld(from_bed(args.bed)))
     np.save(args.out, out)
-    print(f"wrote {args.out}: {out.shape[0]}^2 LD r^2")
+    print(f"wrote {args.out}: {out.shape[0]}^2 LD r")
     return 0
 
 
@@ -161,7 +169,8 @@ def cmd_ingest(args) -> int:
 def cmd_gblup(args) -> int:
     from .gblup import run_gblup  # lazy import
 
-    return run_gblup(args.bed, h2=args.h2, pcs=args.pcs, solver=args.solver)
+    return run_gblup(args.bed, h2=args.h2, pcs=args.pcs, solver=args.solver,
+                     stream_chunk=args.stream_chunk, tol=args.tol)
 
 
 def main(argv=None) -> int:
@@ -177,6 +186,9 @@ def main(argv=None) -> int:
     s.add_argument("--indiv", type=int, default=1000)
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--missing-rate", type=float, default=0.0)
+    s.add_argument("--stream-chunk", type=int, default=0,
+                   help="write in SNP chunks of this size (panels beyond "
+                        "host RAM); missing-rate is ignored when streaming")
 
     v = sub.add_parser("validate")
     v.add_argument("--snps", type=int, default=2000)
@@ -211,6 +223,11 @@ def main(argv=None) -> int:
     g.add_argument("--h2", type=float, default=0.5)
     g.add_argument("--pcs", type=int, default=10)
     g.add_argument("--solver", choices=["cg", "dense"], default="cg")
+    g.add_argument("--stream-chunk", type=int, default=0,
+                   help="SNP chunk size for the out-of-core StreamedGeno "
+                        "path (0 = in-memory GenoMatrix)")
+    g.add_argument("--tol", type=float, default=1e-4,
+                   help="CG convergence tolerance")
 
     args = p.parse_args(argv)
     return {

@@ -210,7 +210,12 @@ def from_bed(path: str, freq: Optional[np.ndarray] = None, **kw: Any) -> GenoMat
     """
     from .io import bed
 
-    if not kw.get("keep_missing_info"):
+    # The fused native path hard-codes row_mult=256 and always device-puts;
+    # honor from_dense-style kwargs by falling back when any are non-default.
+    native_ok = (not kw.get("keep_missing_info")
+                 and kw.get("row_mult", 256) == 256
+                 and kw.get("device_put", True))
+    if native_ok:
         res = _ingest_bed_native(path, freq)
         if res is not None:
             return res
