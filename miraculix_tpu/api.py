@@ -76,9 +76,20 @@ def plink2compressed(
     internally computed allele frequencies (external-freq mode)."""
     del plink_transposed, max_n  # both orientations derive from `plink`
     opts = get_global_options()
-    return _geno.from_plink(
-        plink, snps, indiv, freq=f,
-        keep_missing_info=not opts.ignore_missings,
+    keep_missing = not opts.ignore_missings
+    # Content-hash cache: repeated dgemm_plink / sparse_times_plink calls on
+    # the same buffer reuse the device-resident pack instead of re-ingesting
+    # (the reference's direct-PLINK kernel exists to avoid conversion cost,
+    # plink256.cc:54-61).
+    from .utils import panel_cache
+
+    key = ("plink", snps, indiv, keep_missing,
+           panel_cache.digest_array(plink),
+           None if f is None else panel_cache.digest_array(f))
+    return panel_cache.get_or_build(
+        key,
+        lambda: _geno.from_plink(plink, snps, indiv, freq=f,
+                                 keep_missing_info=keep_missing),
     )
 
 
@@ -192,6 +203,9 @@ def get_compressed_freq(compressed: _geno.GenoMatrix,
 def free_compressed(compressed: _geno.GenoMatrix) -> None:
     """``free_compressed`` parity (5codesAPI.c:159-161).  Drops the device
     buffers so the arrays can be reclaimed immediately rather than at GC."""
+    from .utils import panel_cache
+
+    panel_cache.evict_value(compressed)
     for name in ("zq_n", "zq_t", "freq"):
         arr = getattr(compressed, name, None)
         if arr is not None and hasattr(arr, "delete"):

@@ -63,7 +63,15 @@ def matrixvector012(m: CodedMatrix, v: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _as_geno(m: CodedMatrix):
-    return from_dense(m.dense())
+    """Decode+pack a CodedMatrix, cached by content hash: repeated R-API
+    calls on the same matrix reuse the device-resident panel instead of
+    paying a full re-pack per call (reference motivation: the direct-PLINK
+    kernel exists to avoid conversion cost, plink256.cc:54-61)."""
+    from .utils import panel_cache
+
+    key = ("rapi", m.coding, m.snps, m.indiv,
+           panel_cache.digest_array(m.buf))
+    return panel_cache.get_or_build(key, lambda: from_dense(m.dense()))
 
 
 def geno_vector(m: CodedMatrix, v: np.ndarray, centered: bool = False):
