@@ -1,25 +1,32 @@
-"""Sparse triangular solves (the MiXBLUP single-step path).
+"""Sparse triangular solves (the MiXBLUP single-step path), O(nnz) storage.
 
-The reference uploads a COO lower-triangular factor once
-(``sparse2gpu``: cusparseCreateCoo + SpSM analysis,
-src/cuda/solve_cuda.cu:281-882), then serves repeated
-``dcsrtrsv_solve_gpu('n'/'t')`` calls; the Fortran layer composes the
-two-triangle solve L(Lᵀx)=B with an optional row permutation
-(src/bindings/Fortran/modmiraculix_gpu.f90:80-157).
+The reference uploads a COO lower-triangular factor once (``sparse2gpu``:
+cusparseCreateCoo + SpSM analysis, src/cuda/solve_cuda.cu:281-882), then
+serves repeated ``dcsrtrsv_solve_gpu('n'/'t')`` calls; the Fortran layer
+composes the two-triangle solve L(Lᵀx)=B with an optional row permutation
+(src/bindings/Fortran/modmiraculix_gpu.f90:80-157).  Its factors come from
+sparse pedigree/mixed-model equations with millions of rows and ~10 nonzeros
+per row (tests/solve/test.jl simulates exactly that shape).
 
-A TPU has no sparse triangular-solve unit; the latency-bound dependency
-chain of SpSM is hostile to wide SIMD anyway.  Our equivalent keeps the
-same init-once/solve-many lifecycle but materializes the factor as a dense
-blocked triangle once at init and serves solves with XLA's blocked
-``triangular_solve`` on the MXU — for the equation sizes the reference
-targets (pedigree/genotype factors up to ~7e4, tests/solve/test.jl:177-191)
-the dense triangle fits comfortably in HBM and the solve is
-bandwidth-optimal.  Panels beyond dense reach should use the CG path
-(miraculix_tpu.solve.cg) — the reference makes the same trade
-(examples/iterative_solver).
+A TPU has no sparse triangular-solve unit, and the scalar dependency chain of
+SpSM is hostile to wide SIMD.  The TPU-native formulation is **blocked
+substitution**: partition the unknowns into contiguous blocks of ``bs`` rows;
+the factor splits into dense ``bs x bs`` diagonal blocks (inverted once at
+init — a triangular inverse, so applying it is one small MXU matmul) and the
+off-diagonal entries, kept as flat COO grouped per block (O(nnz) storage).
+One ``lax.scan`` over blocks then performs the substitution: each step is a
+gather + scatter-add (the sparse "apply previous x") and one ``bs x bs``
+matmul — everything stays on device, and the init-once / solve-many
+lifecycle of the reference is preserved.
+
+Capacity: storage is O(nnz + n·bs); at the reference's resilience scale
+(n = 7e4, test.jl:177-191) and far beyond (n = 1e6, nnz = 1e7) the working
+set is ~1 GB at bs=256 — comfortably inside a single chip's HBM.  The old
+dense-materialized implementation (39 GB at n=7e4) is gone.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -27,14 +34,120 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _analyze(rows, cols, vals, n, bs, lower, np_dtype):
+    """Host-side init-once analysis (the ``sparse2gpu`` analysis phase):
+    dense diagonal-block inverses + per-block padded off-diagonal COO
+    groups for both sweep directions."""
+    nb = -(-n // bs)
+    npad = nb * bs
+    rb, cb = rows // bs, cols // bs
+
+    # --- dense diagonal blocks, inverted once in f64 ---------------------
+    diag_mask = rb == cb
+    dblocks = np.zeros((nb, bs, bs), np.float64)
+    dr, dc, dv = rows[diag_mask], cols[diag_mask], vals[diag_mask]
+    # add (not assign): duplicate COO entries coalesce by summation, the
+    # same semantics the scatter-add gives the off-diagonal groups
+    np.add.at(dblocks, (dr // bs, dr % bs, dc % bs), dv)
+    pad_idx = np.arange(n, npad)
+    dblocks[pad_idx // bs, pad_idx % bs, pad_idx % bs] = 1.0  # padded rows
+    try:
+        from scipy.linalg import lapack
+
+        tri = lapack.dtrtri
+        inv = np.empty_like(dblocks)
+        for i in range(nb):
+            blk, info = tri(dblocks[i], lower=lower)
+            if info != 0:
+                raise np.linalg.LinAlgError(f"singular diagonal block {i}")
+            inv[i] = blk
+    except ImportError:  # pragma: no cover - scipy ships with jax
+        inv = np.linalg.inv(dblocks)
+    dinv = inv.astype(np_dtype)
+
+    # --- off-diagonal entries, grouped per block for each sweep ----------
+    off_mask = ~diag_mask
+    orows, ocols, ovals = rows[off_mask], cols[off_mask], vals[off_mask]
+
+    def group(block_of_entry, local_axis_idx, gather_idx):
+        """Pad per-block entry lists to the max count; padding entries
+        gather x[0] with value 0 (harmless)."""
+        order = np.argsort(block_of_entry, kind="stable")
+        blk = block_of_entry[order]
+        counts = np.bincount(blk, minlength=nb)
+        mmax = int(counts.max()) if counts.size else 0
+        mmax = max(mmax, 1)
+        loc = np.zeros((nb, mmax), np.int32)
+        gat = np.zeros((nb, mmax), np.int32)
+        val = np.zeros((nb, mmax), np_dtype)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        within = np.arange(len(blk)) - starts[blk]
+        loc[blk, within] = local_axis_idx[order]
+        gat[blk, within] = gather_idx[order]
+        val[blk, within] = ovals[order]
+        return loc, gat, val, mmax
+
+    # trans='n' sweep: block-row i consumes x at column indices
+    fwd = group(orows // bs, (orows % bs).astype(np.int64), ocols)
+    # trans='t' sweep: block-col i consumes x at row indices
+    bwd = group(ocols // bs, (ocols % bs).astype(np.int64), orows)
+    return nb, npad, dinv, fwd[:3], bwd[:3]
+
+
+def _block_sweep(x0, b, dinv, loc, gat, val, starts, *, bs, transpose_diag,
+                 reverse):
+    """One substitution sweep as a lax.scan over blocks.
+
+    Carry = the full solution [npad, ncol]; step i gathers the
+    already-computed entries it depends on, scatter-adds the sparse
+    contribution, applies the dense inverted diagonal block, and writes
+    block i of x.  ``reverse`` runs blocks last-to-first (the transposed /
+    upper sweep); dependencies then point at later blocks, which that
+    ordering has already produced.
+    """
+    def body(x, inp):
+        b_i, dinv_i, loc_i, gat_i, val_i, start = inp
+        xg = x[gat_i]                                  # [mmax, ncol]
+        contrib = jnp.zeros_like(b_i).at[loc_i].add(val_i[:, None] * xg)
+        rhs = b_i - contrib
+        di = dinv_i.T if transpose_diag else dinv_i
+        xi = di @ rhs
+        x = jax.lax.dynamic_update_slice(
+            x, xi, (start, jnp.zeros((), start.dtype)))
+        return x, None
+
+    nb = dinv.shape[0]
+    bblocks = b.reshape(nb, bs, -1)
+    xs = (bblocks, dinv, loc, gat, val, starts)
+    x, _ = jax.lax.scan(body, x0, xs, reverse=reverse)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "trans", "lower"))
+def _solve_jit(b, dinv, floc, fgat, fval, bloc, bgat, bval, starts,
+               *, bs, trans, lower):
+    x0 = jnp.zeros_like(b)
+    # trans='n' consumes entries by block-ROW (fwd grouping), trans='t' by
+    # block-COLUMN (bwd grouping, with the diagonal blocks transposed).
+    # Direction: 'n' on lower / 't' on upper substitute first-to-last;
+    # the other two combinations are upper-triangular systems -> reverse.
+    if trans == "n":
+        return _block_sweep(x0, b, dinv, floc, fgat, fval, starts,
+                            bs=bs, transpose_diag=False, reverse=not lower)
+    return _block_sweep(x0, b, dinv, bloc, bgat, bval, starts,
+                        bs=bs, transpose_diag=True, reverse=lower)
+
+
 class SparseTriangularSolver:
     """Init-once / solve-many triangular solver (lifecycle of ``sparse2gpu``
     / ``dcsrtrsv_solve_gpu`` / ``free_sparse_gpu``, solve_cuda.h:54-74).
 
     Parameters mirror the reference: COO triplets (1-based indices by
-    default, as the Fortran callers supply them), matrix size, and an
-    optional row permutation applied as in ``c_solve_gpu_perm``
-    (modmiraculix_gpu.f90:80-126).
+    default, as the Fortran callers supply them), matrix size, optional row
+    permutation in :meth:`solve_lltx` as in ``c_solve_gpu_perm``
+    (modmiraculix_gpu.f90:80-126).  ``bs`` is the substitution block size
+    (analysis granularity — any value >= 1 is correct; 256 balances scan
+    length against diagonal-inverse storage, which is 4·n·bs bytes).
     """
 
     def __init__(
@@ -45,46 +158,100 @@ class SparseTriangularSolver:
         n: int,
         index_base: int = 1,
         lower: bool = True,
-        dtype=jnp.float64,
+        bs: int = 256,
+        dtype=None,
     ):
-        rows = np.asarray(rows, dtype=np.int64) - index_base
-        cols = np.asarray(cols, dtype=np.int64) - index_base
-        vals = np.asarray(vals)
+        rows = np.asarray(rows, dtype=np.int64).ravel() - index_base
+        cols = np.asarray(cols, dtype=np.int64).ravel() - index_base
+        vals = np.asarray(vals, dtype=np.float64).ravel()
+        if len(rows) == 0:
+            raise ValueError("empty factor")
         if rows.min() < 0 or rows.max() >= n or cols.min() < 0 or cols.max() >= n:
             raise ValueError("COO indices out of range")
-        dense = np.zeros((n, n), dtype=np.float64)
-        dense[rows, cols] = vals
-        tri = np.tril(dense) if lower else np.triu(dense)
-        if not np.array_equal(tri, dense):
+        outside = (cols > rows) if lower else (cols < rows)
+        if (vals[outside] != 0).any():
             raise ValueError(
                 f"matrix has entries outside the {'lower' if lower else 'upper'} triangle"
             )
-        if (np.abs(np.diag(dense)) == 0).any():
+        diag_present = np.zeros(n, bool)
+        diag_mask = rows == cols
+        diag_present[rows[diag_mask][vals[diag_mask] != 0]] = True
+        if not diag_present.all():
             raise ValueError("triangular factor has zero diagonal")
+
+        if dtype is None:
+            # f64 end-to-end where the backend supports it (CPU under x64,
+            # matching the reference's double solves); f32 + optional
+            # refinement on TPU (no f64 hardware)
+            use64 = (jax.config.jax_enable_x64
+                     and jax.default_backend() == "cpu")
+            dtype = jnp.float64 if use64 else jnp.float32
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
+        bs = max(1, min(bs, n))
         self.n = n
         self.lower = lower
-        self.l = jnp.asarray(dense, dtype=dtype)
+        self.bs = bs
+        self.nnz = int(len(vals))
+        nb, npad, dinv, fwd, bwd = _analyze(rows, cols, vals, n, bs, lower,
+                                            np_dtype)
+        self.nb, self.npad = nb, npad
+        self._dinv = jnp.asarray(dinv)
+        self._fwd = tuple(jnp.asarray(a) for a in fwd)
+        self._bwd = tuple(jnp.asarray(a) for a in bwd)
+        self._starts = jnp.arange(nb, dtype=jnp.int32) * bs
+        # flat COO for the O(nnz) matvec / residual refinement
+        self._rows = jnp.asarray(rows.astype(np.int32))
+        self._cols = jnp.asarray(cols.astype(np.int32))
+        self._vals = jnp.asarray(vals.astype(np_dtype))
+        self._dtype = dtype
 
-    def solve(self, b: jax.Array, trans: str = "n") -> jax.Array:
-        """Solve L x = b ('n') or Lᵀ x = b ('t')."""
+    # -- O(nnz) sparse matvec (for residuals / refinement) ----------------
+    def matvec(self, x: jax.Array, trans: str = "n") -> jax.Array:
+        """y = L x ('n') or Lᵀ x ('t'), one scatter-add over the COO."""
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        r, c = (self._rows, self._cols) if trans == "n" else (self._cols,
+                                                              self._rows)
+        y = jnp.zeros((self.n, x.shape[1]), x.dtype)
+        y = y.at[r].add(self._vals[:, None] * x[c])
+        return y[:, 0] if squeeze else y
+
+    def solve(self, b: jax.Array, trans: str = "n",
+              refine: int = 0) -> jax.Array:
+        """Solve L x = b ('n') or Lᵀ x = b ('t').
+
+        ``refine`` adds iterative-refinement sweeps (x += solve(b - L x)),
+        halving-ish the f32 recurrence error per sweep at one extra
+        substitution + one O(nnz) matvec each.
+        """
         trans = trans.lower()
+        if trans not in ("n", "t"):
+            raise ValueError(f"trans must be 'n' or 't', got {trans!r}")
         squeeze = b.ndim == 1
         if squeeze:
             b = b[:, None]
-        b = b.astype(self.l.dtype)
-        if trans == "n":
-            x = jax.scipy.linalg.solve_triangular(self.l, b, lower=self.lower)
-        elif trans == "t":
-            x = jax.scipy.linalg.solve_triangular(
-                self.l, b, lower=self.lower, trans=1
-            )
-        else:
-            raise ValueError(f"trans must be 'n' or 't', got {trans!r}")
+        b = jnp.asarray(b, self._dtype)
+        bpad = b if self.npad == self.n else jnp.zeros(
+            (self.npad, b.shape[1]), b.dtype).at[: self.n].set(b)
+        x = self._solve_padded(bpad, trans)[: self.n]
+        for _ in range(refine):
+            r = b - self.matvec(x, trans=trans)
+            rpad = r if self.npad == self.n else jnp.zeros(
+                (self.npad, r.shape[1]), r.dtype).at[: self.n].set(r)
+            x = x + self._solve_padded(rpad, trans)[: self.n]
         return x[:, 0] if squeeze else x
+
+    def _solve_padded(self, bpad: jax.Array, trans: str) -> jax.Array:
+        floc, fgat, fval = self._fwd
+        bloc, bgat, bval = self._bwd
+        return _solve_jit(bpad, self._dinv, floc, fgat, fval,
+                          bloc, bgat, bval, self._starts,
+                          bs=self.bs, trans=trans, lower=self.lower)
 
     def solve_lltx(
         self, b: jax.Array, perm: Optional[np.ndarray] = None,
-        index_base: int = 1,
+        index_base: int = 1, refine: int = 0,
     ) -> jax.Array:
         """Full normal-equation solve L Lᵀ x = b with optional symmetric row
         permutation, matching ``c_solve_gpu_perm``/``_noperm``
@@ -95,12 +262,41 @@ class SparseTriangularSolver:
         if perm is not None:
             p = jnp.asarray(np.asarray(perm, dtype=np.int64) - index_base)
             b = b[p]
-        y = self.solve(b, trans="n")
-        x = self.solve(y, trans="t")
+        y = self.solve(b, trans="n", refine=refine)
+        x = self.solve(y, trans="t", refine=refine)
         if perm is not None:
             x = jnp.zeros_like(x).at[p].set(x)
         return x[:, 0] if squeeze else x
 
     def free(self) -> None:
         """Release device memory (``free_sparse_gpu`` parity)."""
-        self.l = None
+        for name in ("_dinv", "_fwd", "_bwd", "_starts", "_rows", "_cols",
+                     "_vals"):
+            setattr(self, name, None)
+
+
+def simulate_pedigree_factor(
+    n: int,
+    avg_offdiag: int = 9,
+    bandwidth: Optional[int] = None,
+    seed: int = 0,
+    index_base: int = 1,
+):
+    """Simulate a diagonally-dominant sparse lower-triangular factor with the
+    shape of a pedigree/mixed-model Cholesky factor (~``avg_offdiag``
+    below-diagonal entries per row, reference tests/solve/test.jl:67-97 and
+    utils/benchmark/sparse_solve.jl).  Returns 1-based COO (rows, cols,
+    vals) including the diagonal."""
+    rng = np.random.default_rng(seed)
+    counts = np.minimum(rng.poisson(avg_offdiag, n), np.arange(n))
+    rows = np.repeat(np.arange(n), counts)
+    lo = rows - (bandwidth or n)
+    cols = rng.integers(np.maximum(lo, 0), rows)  # in [max(r-bw,0), r)
+    vals = rng.standard_normal(len(rows)) * 0.1
+    # diagonal dominance: diag = 1 + sum |offdiag| per row
+    diag = np.ones(n)
+    np.add.at(diag, rows, np.abs(vals))
+    r = np.concatenate([rows, np.arange(n)]) + index_base
+    c = np.concatenate([cols, np.arange(n)]) + index_base
+    v = np.concatenate([vals, diag])
+    return r, c, v
