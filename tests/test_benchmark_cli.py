@@ -56,3 +56,18 @@ def test_ld_skip_row_for_oversized_panels():
     # snps^2 output exceeds HBM — callable on CPU
     row = bm.bench_ld("small")
     assert row["suite"] == "ld" and "skipped" in row
+
+
+def test_sparse_solve_suite_routing(monkeypatch, capsys):
+    calls = []
+    monkeypatch.setattr(bm, "bench_sparse_solve",
+                        lambda n: calls.append(n) or {"suite": "sparse_solve"})
+    assert bm.main(["--suite", "sparse_solve", "--sparse-n", "1234"]) == 0
+    assert calls == [1234]
+
+
+def test_bench_sparse_solve_small_real():
+    # the real row at toy size runs fine on CPU and self-checks its residual
+    row = bm.bench_sparse_solve(n=300, ncol=2, iters=2)
+    assert row["suite"] == "sparse_solve"
+    assert row["rel_residual"] < 1e-4
