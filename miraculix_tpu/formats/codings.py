@@ -85,11 +85,23 @@ def _unpack_bits(packed: np.ndarray, bits: int, n_within: int) -> np.ndarray:
 
 # ---------------------------------------------------------------------------
 # per-coding encode/decode (dense [indiv, snps] <-> packed buffer)
-# dense orientation note: packing is SNP-major like .bed — each packed
-# column is one SNP over individuals.
+#
+# Orientation conventions (validated byte-for-byte in
+# tests/test_coding_golden.py against the reference layout definitions):
+# - TwoBit/ThreeBit/OneByte/FourByte store PER-INDIVIDUAL ROWS with the
+#   SNPs packed along the row — the reference's UNIT_CODING loop writes
+#   ``Ans + i*ldAns`` per individual i (bitUint.h:26-50), so reference
+#   memory reshaped [indiv, lda] equals our buffer (at minimal lda).
+# - Plink/FiveCodes pack 4 (resp. 5) INDIVIDUALS per byte within one SNP
+#   column, [groups, snps] — the .bed orientation (plink2Geno5codes32
+#   writes output byte (group j, snp i) at j*ldaByte + i,
+#   5codesChar.cc:270-340).
 # ---------------------------------------------------------------------------
 
-def _enc_two_bit(g):  # genotype value verbatim in 2 bits; missing -> 3
+def _enc_two_bit(g):
+    """Reference TwoBitGeno (2bitUint.cc:22-64): genotype value verbatim in
+    2 bits (geno_code {0,1,2}; we keep 3 = missing as an extension), packed
+    low-bits-first along the SNP axis, one row per individual."""
     return _pack_bits(g.T.astype(np.uint16), 2).T
 
 
@@ -115,16 +127,43 @@ def _dec_one_bit(buf, indiv, snps):
     return _unpack_bits(buf.T, 1, snps).T[:indiv]
 
 
+_THREE_BIT_LUT = np.array([0, 3, 3, 1, 3, 3, 2, 3], dtype=np.uint8)
+
+
+def _three_bit_shifts(snps):
+    """Bit offset of SNP s inside its 64-bit block: 5 codes per 16-bit
+    part-unit with 1 pad bit (deltaBitsPartUnit, bitUint.h:36-39), 4
+    part-units per block -> 20 codes per block."""
+    s = np.arange(snps)
+    return s // 20, (16 * ((s % 20) // 5) + 3 * (s % 5)).astype(np.uint64)
+
+
 def _enc_three_bit(g):
-    # 3-bit fields, 2 per byte (reference ThreeBit is variant-64-only and
-    # packs 21 codes per 64-bit unit; byte-granular here).  Missing (3)
-    # stores as code 4 so it round-trips distinctly from genotype values.
-    return _pack_bits(np.where(g == 3, 4, g).T.astype(np.uint16), 4).T
+    """Reference ThreeBit layout (3bitUint.cc:21-47, bitUint.h:26-50):
+    per-individual rows of little-endian 64-bit blocks; genotype g stores
+    as the 3-bit code 3*g (geno_code {0,3,6} — field-wise addition then
+    accumulates allele sums without carries), 5 codes per 16-bit part-unit
+    (1 pad bit each), 20 codes per block.  Missing (3) stores as code 1,
+    which the reference reserves as NA (rev_geno_code)."""
+    g = np.asarray(g)
+    indiv, snps = g.shape
+    codes = np.where(g == 3, 1, 3 * g.astype(np.uint64)).astype(np.uint64)
+    nblk = -(-snps // 20)
+    padded = np.zeros((indiv, nblk * 20), np.uint64)
+    padded[:, :snps] = codes
+    _, shifts = _three_bit_shifts(nblk * 20)
+    words = (padded << shifts[None, :]).reshape(indiv, nblk, 20).sum(
+        axis=2, dtype=np.uint64)  # disjoint bit fields: sum == OR
+    return words.astype("<u8").view(np.uint8).reshape(indiv, nblk * 8)
 
 
 def _dec_three_bit(buf, indiv, snps):
-    vals = _dec_four_bit(buf, indiv, snps)
-    return np.where(vals == 4, np.uint8(3), vals).astype(np.uint8)
+    nblk = buf.shape[1] // 8
+    words = np.ascontiguousarray(buf[:indiv]).reshape(indiv, nblk, 8).view(
+        "<u8")[..., 0]
+    blk, shifts = _three_bit_shifts(snps)
+    vals = (words[:, blk] >> shifts[None, :]) & np.uint64(7)
+    return _THREE_BIT_LUT[vals.astype(np.uint8)]
 
 
 def _enc_four_bit(g):
@@ -162,18 +201,28 @@ def _dec_five_codes(buf, indiv, snps):
 
 
 def _enc_one_byte(g):
-    return np.asarray(g, dtype=np.uint8).T.copy()  # [snps, indiv] bytes
+    """Reference OneByteGeno: one byte per genotype, per-individual rows
+    (coding_OneByte_end writes pAns = Ans + i*ldAns, OneByteUint.cc:49-66)."""
+    return np.ascontiguousarray(np.asarray(g, dtype=np.uint8))  # [indiv, snps]
 
 
 def _dec_one_byte(buf, indiv, snps):
-    return buf.T[:indiv].astype(np.uint8)
+    return buf[:indiv, :snps].astype(np.uint8)
 
 
 def _enc_four_byte(g):
-    return np.asarray(g, dtype=np.int32).T.copy()
+    """Reference FourByteGeno: plain ints, R column-major [snps x indiv]
+    = per-individual contiguous chunks = numpy [indiv, snps] rows."""
+    return np.ascontiguousarray(np.asarray(g, dtype=np.int32))
 
 
 def _dec_four_byte(buf, indiv, snps):
+    return buf[:indiv, :snps].astype(np.uint8)
+
+
+# haplo byte/word codings keep the historical column-per-individual
+# orientation (the reference's haplo layer is SNP-major column storage)
+def _dec_col_major_bytes(buf, indiv, snps):
     return buf.T[:indiv].astype(np.uint8)
 
 
@@ -247,8 +296,8 @@ _CODECS: Dict[Coding, Tuple[Callable, Callable]] = {
     Coding.PLANAR16: (_enc_planar16, _dec_planar16),
     Coding.ONE_BIT_HAPLO: (_enc_one_bit_haplo, _dec_one_bit_haplo),
     Coding.TWO_BIT_HAPLO: (_enc_two_bit_haplo, _dec_two_bit_haplo),
-    Coding.ONE_BYTE_HAPLO: (_enc_one_byte_haplo, _dec_one_byte),
-    Coding.FOUR_BYTE_HAPLO: (_enc_four_byte_haplo, _dec_four_byte),
+    Coding.ONE_BYTE_HAPLO: (_enc_one_byte_haplo, _dec_col_major_bytes),
+    Coding.FOUR_BYTE_HAPLO: (_enc_four_byte_haplo, _dec_col_major_bytes),
     Coding.EIGHT_BYTE_HAPLO: (_enc_eight_byte_haplo, _dec_eight_byte_haplo),
 }
 
