@@ -1,0 +1,71 @@
+"""Generate the vendored PLINK-oracle fixture (run once; outputs checked in).
+
+The reference validates GRM/LD against the actual PLINK 1.9 binary
+(tests/crossproduct/test_grm.jl:96-110: `plink --make-rel square cov`,
+test_ld.jl:68-81: `plink --r square`).  No PLINK binary exists in this
+environment, so this script implements PLINK's *documented* formulas
+independently (numpy only — it never imports miraculix_tpu), and the
+resulting matrices are checked into tests/data/ as golden files:
+
+- ``--make-rel square cov`` (no missing genotypes in the panel):
+  REL = Zc Zcᵀ / M with Zc = Z - 2f (f = empirical allele frequency
+  x̄/2), M = #SNPs.  [www.cog-genomics.org/plink/1.9/distance]
+- ``--r square``: Pearson correlation of the 0/1/2 allele-count vectors
+  of each SNP pair.  [www.cog-genomics.org/plink/1.9/ld]
+
+Run:  python tests/data/make_plink_golden.py
+"""
+import os
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+N_INDIV, N_SNPS, SEED = 120, 300, 20240817
+
+
+def write_bed(path, geno):
+    """Minimal .bed/.bim/.fam writer (SNP-major .bed, PLINK 1.9 format)."""
+    n_indiv, n_snps = geno.shape
+    codes = np.array([0b00, 0b10, 0b11, 0b01], np.uint8)  # 0,1,2,missing
+    nb = (n_indiv + 3) // 4
+    payload = np.zeros((n_snps, nb), np.uint8)
+    c = codes[geno]  # [indiv, snps]
+    for i in range(n_indiv):
+        payload[:, i // 4] |= c[i] << (2 * (i % 4))
+    with open(path, "wb") as f:
+        f.write(bytes([0x6C, 0x1B, 0x01]))
+        f.write(payload.tobytes())
+    base = path[:-4]
+    with open(base + ".bim", "w") as f:
+        for s in range(n_snps):
+            f.write(f"1\tsnp{s}\t0\t{s + 1}\tA\tB\n")
+    with open(base + ".fam", "w") as f:
+        for i in range(n_indiv):
+            f.write(f"f{i}\ti{i}\t0\t0\t0\t-9\n")
+
+
+def main():
+    rng = np.random.default_rng(SEED)
+    # two-allele sampling with per-SNP frequency -> realistic 0/1/2 panel,
+    # no missing values (plink's cov/r formulas then have no pair-masking)
+    p = rng.uniform(0.05, 0.95, N_SNPS)
+    geno = (rng.random((N_INDIV, N_SNPS)) < p).astype(np.int64)
+    geno += (rng.random((N_INDIV, N_SNPS)) < p).astype(np.int64)
+    geno = geno.astype(np.uint8)
+
+    z = geno.astype(np.float64)
+    freq = z.mean(axis=0) / 2.0
+    zc = z - 2.0 * freq[None, :]
+
+    rel_cov = (zc @ zc.T) / N_SNPS                      # --make-rel square cov
+    sd = np.sqrt((zc * zc).sum(axis=0))
+    r = (zc.T @ zc) / np.outer(sd, sd)                  # --r square
+
+    write_bed(os.path.join(HERE, "golden_panel.bed"), geno)
+    np.save(os.path.join(HERE, "golden_rel_cov.npy"), rel_cov.astype(np.float64))
+    np.save(os.path.join(HERE, "golden_r.npy"), r.astype(np.float64))
+    print("wrote golden_panel.bed/.bim/.fam, golden_rel_cov.npy, golden_r.npy")
+
+
+if __name__ == "__main__":
+    main()
