@@ -2,8 +2,8 @@
 mesh (new capability — the reference is single-node).  1D = SNP-axis
 sharding; 2D = individuals x SNPs block sharding for panels where neither
 axis fits one chip."""
-from .sharded import (ShardedGeno, init_distributed, make_mesh,
-                      shard_genotypes,
+from .sharded import (ShardedGeno, init_distributed, load_sharded,
+                      make_mesh, save_sharded, shard_genotypes,
                       shard_genotypes_from_bed, sharded_cg_solve,
                       sharded_dgemm, sharded_grm, sharded_grm_matvec)
 from .sharded2d import (ShardedGeno2D, make_mesh_2d, pad_indiv_vec,
@@ -15,10 +15,12 @@ __all__ = [
     "ShardedGeno",
     "ShardedGeno2D",
     "init_distributed",
+    "load_sharded",
     "make_mesh",
     "make_mesh_2d",
     "pad_indiv_vec",
     "pad_snp_vec",
+    "save_sharded",
     "shard_genotypes",
     "shard_genotypes_2d",
     "shard_genotypes_2d_from_bed",
