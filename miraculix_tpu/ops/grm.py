@@ -265,21 +265,85 @@ def snp_crossprod(
     return m[: g.indiv, : g.indiv]
 
 
+def _missing_d_csr(g):
+    """The exact "add-back" matrix D for missing genotypes: D[i, s] = 2f_s
+    at each recorded missing coordinate.  A missing entry was packed as 0
+    and centering subtracted 2f_s, so its centered value is -2f_s; the
+    reference semantics (Missings list corrections,
+    src/miraculix/Vector.matrix.D.cc:179-208) make it contribute 0 — i.e.
+    the exact centered matrix is Zc + D.  Returns 1-based CSR of D plus
+    d2[i] = (D · 2f)[i]."""
+    import numpy as np
+
+    mi = np.asarray(g.miss_rows_n, np.int64)
+    ms = np.asarray(g.miss_cols_n, np.int64)
+    f = np.asarray(g.freq, np.float64)
+    order = np.argsort(mi, kind="stable")
+    mi, ms = mi[order], ms[order]
+    w = 2.0 * f[ms]
+    ia = np.concatenate([[0], np.cumsum(np.bincount(mi, minlength=g.indiv))]) + 1
+    d2 = np.zeros(g.indiv)
+    np.add.at(d2, mi, w * 2.0 * f[ms])
+    return ia, ms + 1, w, d2, (mi, ms)
+
+
+def _ddt_dense(rows, cols, w, n_rows, n_cols):
+    """(sparse D) @ (sparse D)ᵀ as a dense [n_rows, n_rows] array (host;
+    nnz = #missing entries, so this is cheap at realistic missing rates)."""
+    import numpy as np
+    from scipy import sparse
+
+    d = sparse.csr_matrix((w, (rows, cols)), shape=(n_rows, n_cols))
+    return np.asarray((d @ d.T).todense())
+
+
 def grm(
     g: GenoMatrix,
     scale: bool = True,
     dtype=jnp.float32,
+    correct_missing: Optional[bool] = None,
     interpret: Optional[bool] = None,
     **tiles,
 ) -> jax.Array:
     """VanRaden genomic relationship matrix via the Schlather decomposition
-    (docs/grm.md:5-10; Julia finish crossproduct.jl:91-107)."""
+    (docs/grm.md:5-10; Julia finish crossproduct.jl:91-107).
+
+    ``correct_missing``: apply the exact missing-genotype correction from
+    the recorded missing index lists (reference Missings semantics,
+    Vector.matrix.D.cc:179-208) — each missing entry then contributes
+    exactly 0 to the centered product (mean imputation), instead of the
+    -2f_s bias the raw packed 0 leaves behind.  Default: on whenever the
+    panel carries missing info (``from_dense(..., keep_missing_info=True)``).
+    """
     n = g.indiv
     m = snp_crossprod(g, snpmajor_output=False, interpret=interpret, **tiles)
     m = m.astype(dtype)
-    colsum = jnp.sum(m, axis=1)
-    total = jnp.sum(colsum)
-    m = m - colsum[None, :] / n - colsum[:, None] / n + total / (n * n)
+    if correct_missing is None:
+        correct_missing = g.miss_rows_n is not None
+    if correct_missing and g.miss_rows_n is None:
+        raise ValueError("correct_missing requires a panel built with "
+                         "keep_missing_info=True")
+    if correct_missing:
+        from .dgemm import dgemm
+        from .sparse import sparse_times_geno
+
+        f = g.freq.astype(dtype)
+        # exact centering by 2f (the Schlather colsum identity assumes no
+        # missing): Zc Zcᵀ = ZZᵀ - u1ᵀ - 1uᵀ + (4Σf²)11ᵀ, u = Z(2f)
+        u = dgemm(g, 2.0 * g.freq[:, None], trans="n", center=False,
+                  precision="f32", interpret=interpret)[:, 0].astype(dtype)
+        m = m - u[None, :] - u[:, None] + 4.0 * jnp.sum(f * f)
+        ia, ja, w, d2, (mi, ms) = _missing_d_csr(g)
+        a = sparse_times_geno(
+            g, ia, ja, w, g.indiv, trans_geno="t",
+            precision="f32", interpret=interpret)  # D Zᵀ [indiv, indiv]
+        a = a.astype(dtype) - jnp.asarray(d2, dtype)[:, None]  # D Zcᵀ
+        ddt = jnp.asarray(_ddt_dense(mi, ms, w, g.indiv, g.snps), dtype)
+        m = m + a + a.T + ddt
+    else:
+        colsum = jnp.sum(m, axis=1)
+        total = jnp.sum(colsum)
+        m = m - colsum[None, :] / n - colsum[:, None] / n + total / (n * n)
     if scale:
         m = m / g.sigma2.astype(dtype)
     return m
@@ -289,21 +353,62 @@ def ld(
     g: GenoMatrix,
     dtype=jnp.float32,
     squared: bool = False,
+    correct_missing: Optional[bool] = None,
     interpret: Optional[bool] = None,
     **tiles,
 ) -> jax.Array:
     """LD matrix: centered SNP-SNP correlation r of allele counts
     (reference crossproduct.jl:128-152, validated against `plink --r`).
-    ``squared=True`` returns r² (the LD-pruning statistic)."""
+    ``squared=True`` returns r² (the LD-pruning statistic).
+
+    ``correct_missing`` mirrors :func:`grm`: with the recorded missing
+    lists, the centered crossproduct becomes exactly (Zc + D)ᵀ(Zc + D)
+    (missing entries contribute 0 — mean imputation), which also makes the
+    diagonal an exact non-negative variance.  Default: on whenever the
+    panel carries missing info.
+    """
     n = g.indiv
     m = snp_crossprod(g, snpmajor_output=True, interpret=interpret, **tiles)
     m = m.astype(dtype)
     f = g.freq.astype(dtype)
-    m = m - (4.0 * n) * f[:, None] * f[None, :]
-    # guard degenerate SNPs: monomorphic (zero variance) or missing-heavy
-    # (freq excludes missing while the crossproduct counted them as 0,
-    # which can drive the diagonal slightly negative) — divide by 1 there
-    # instead of emitting NaN rows.
+    if correct_missing is None:
+        correct_missing = g.miss_rows_n is not None
+    if correct_missing and g.miss_rows_n is None:
+        raise ValueError("correct_missing requires a panel built with "
+                         "keep_missing_info=True")
+    if not correct_missing:
+        # no-missing identity: column sums of Z equal 2nf
+        m = m - (4.0 * n) * f[:, None] * f[None, :]
+    else:
+        from .sparse import sparse_times_geno
+
+        # exact centering by 2f with missing packed as 0:
+        # ZcᵀZc = ZᵀZ - (2f)sᵀ - s(2f)ᵀ + 4n ffᵀ,  s = Zᵀ1 (snp sums)
+        s = g.snp_sums().astype(dtype)
+        m = (m - (2.0 * f)[:, None] * s[None, :]
+             - s[:, None] * (2.0 * f)[None, :]
+             + (4.0 * n) * f[:, None] * f[None, :])
+        ia, ja, w, _, (mi, ms) = _missing_d_csr(g)
+        # Dᵀ Zc = Dᵀ Z - (Dᵀ1)(2f)ᵀ; CSR of Dᵀ grouped by SNP:
+        import numpy as np
+
+        order = np.argsort(ms, kind="stable")
+        mi_s, ms_s = mi[order], ms[order]
+        w_s = 2.0 * np.asarray(g.freq, np.float64)[ms_s]
+        ia_t = np.concatenate(
+            [[0], np.cumsum(np.bincount(ms_s, minlength=g.snps))]) + 1
+        a = sparse_times_geno(
+            g, ia_t, mi_s + 1, w_s, g.snps, trans_geno="n",
+            precision="f32", interpret=interpret)  # Dᵀ Z [snps, snps]
+        colsum_d = jnp.asarray(
+            np.bincount(ms, weights=w, minlength=g.snps), dtype)
+        a = a.astype(dtype) - colsum_d[:, None] * (2.0 * f)[None, :]
+        dtd = jnp.asarray(_ddt_dense(ms, mi, w, g.snps, g.indiv), dtype)
+        m = m + a + a.T + dtd
+    # guard degenerate SNPs: monomorphic (zero variance) or, on uncorrected
+    # missing-heavy panels, a slightly negative diagonal (freq excludes
+    # missing while the crossproduct counted them as 0) — divide by 1
+    # there instead of emitting NaN rows.
     diag = jnp.maximum(jnp.diagonal(m), 0.0)
     sigma = jnp.where(diag > 0, jnp.sqrt(diag), 1.0)
     m = m / sigma[:, None] / sigma[None, :]
