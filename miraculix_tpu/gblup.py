@@ -26,11 +26,15 @@ from .solve.dense import dense_solve
 
 
 def _grm_matvec_of(g):
-    """G·v operator for a GenoMatrix (single chip) or a ShardedGeno /
-    ShardedGeno2D (distributed) — GBLUP runs unchanged on any of them."""
+    """G·v operator for a GenoMatrix (single chip), a ShardedGeno /
+    ShardedGeno2D (distributed), or a StreamedGeno (out-of-core) — GBLUP
+    runs unchanged on any of them."""
     from .parallel import (ShardedGeno, ShardedGeno2D, pad_indiv_vec,
                            sharded_dgemm_2d, sharded_grm_matvec)
+    from .streamed import StreamedGeno
 
+    if isinstance(g, StreamedGeno):
+        return lambda v: jnp.asarray(g.grm_matvec(np.asarray(v)))
     if isinstance(g, ShardedGeno):
         return lambda v: sharded_grm_matvec(g, v)
     if isinstance(g, ShardedGeno2D):
@@ -105,10 +109,11 @@ def gblup(
     reductions, the reference's single-GPU pipeline generalized.
     """
     from .parallel import ShardedGeno, ShardedGeno2D
+    from .streamed import StreamedGeno
 
-    sharded = isinstance(g, (ShardedGeno, ShardedGeno2D))
+    sharded = isinstance(g, (ShardedGeno, ShardedGeno2D, StreamedGeno))
     if sharded and solver != "cg":
-        raise ValueError("sharded GBLUP supports solver='cg' only")
+        raise ValueError("sharded/streamed GBLUP supports solver='cg' only")
     n = g.indiv
     lam = (1.0 - h2) / h2
     y = np.asarray(y, dtype=np.float64).reshape(n)
@@ -134,6 +139,14 @@ def gblup(
 
     def _cg(rhs_arr):
         """(Zc Zcᵀ + lam*sigma2 I) b' = rhs on whichever container."""
+        if isinstance(g, StreamedGeno):
+            from .solve.cg import CGResult
+
+            x_np, iters, rel = g.cg_solve(
+                np.asarray(rhs_arr, np.float64), lam=lam * sigma2,
+                scale=False, tol=tol, maxiter=maxiter)
+            return CGResult(jnp.asarray(x_np, jnp.float32),
+                            jnp.int32(iters), jnp.asarray(rel))
         if isinstance(g, ShardedGeno):
             from .parallel import sharded_cg_solve
 
@@ -206,12 +219,25 @@ def simulate_phenotypes(
 
 
 def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
-              solver: str = "cg") -> int:
+              solver: str = "cg", stream_chunk: int = 0,
+              tol: float = 1e-4) -> int:
     """CLI entry: full pipeline on a .bed fileset; phenotypes from the .fam
-    6th column when present, else simulated with known breeding values."""
+    6th column when present, else simulated with known breeding values.
+
+    ``stream_chunk`` > 0 switches to the out-of-core StreamedGeno container
+    (SNP chunks of that size, host-resident, device-streamed) — the
+    BASELINE config-5 path for panels whose packed form exceeds HBM."""
     from .io import bed as bedio
 
-    g = from_bed(bed_path)
+    if stream_chunk > 0:
+        from .streamed import StreamedGeno
+
+        g = StreamedGeno.from_bed(bed_path, chunk_snps=stream_chunk,
+                                  verbose=True)
+        print(f"streamed panel: {g.snps} snps x {g.indiv} indiv, "
+              f"{g.n_chunks} chunks, {g.nbytes() / 1e9:.1f} GB packed (host)")
+    else:
+        g = from_bed(bed_path)
     # phenotype = 6th whitespace column of each .fam line (parse per line:
     # extra columns or odd spacing must not shift the stride)
     with open(bed_path[:-4] + ".fam") as fh:
@@ -230,12 +256,21 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
                 "(-9) in the .fam; subset the panel to phenotyped "
                 "individuals before running GBLUP")
     except ValueError:
-        # dense genotypes are only needed for the simulation fallback
-        geno, _ = bedio.read_bed_genotypes(bed_path)
+        if stream_chunk > 0:
+            # out-of-core panel: draw QTLs from one SNP window only — the
+            # dense fallback below would materialize the full panel
+            from .io import codec as _codec
+
+            qwin = min(1024, g.snps)
+            plink_slice, _, _ = bedio.read_bed_slice(bed_path, 0, qwin)
+            geno = _codec.plink_to_dense(plink_slice, g.indiv)
+        else:
+            # dense genotypes are only needed for the simulation fallback
+            geno, _ = bedio.read_bed_genotypes(bed_path)
         y, bv_true = simulate_phenotypes(geno, h2=h2)
         print("(.fam has no phenotypes — simulated with known BVs)")
 
-    res = gblup(g, y, h2=h2, n_pcs=pcs, solver=solver)
+    res = gblup(g, y, h2=h2, n_pcs=pcs, solver=solver, tol=tol)
     print(f"beta: {np.round(res.beta[:3], 4)}... "
           f"(CG iterations: {res.cg_iterations})")
     if bv_true is not None:
