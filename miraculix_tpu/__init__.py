@@ -13,12 +13,14 @@ from .geno import GenoMatrix, from_bed, from_dense, from_plink, load, save
 from .options import Options, get_global_options, set_global_options
 from .ops.dgemm import dgemm, packed_matmul
 from .ops.grm import grm, grm_blocked, ld, ld_blocked, snp_crossprod
+from .streamed import StreamedGeno
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "GenoMatrix",
     "Options",
+    "StreamedGeno",
     "dgemm",
     "from_bed",
     "from_dense",
