@@ -125,12 +125,30 @@ def _pmm_tall_kernel(bt_ref, zq_ref, out_ref, *, mode="split"):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
     elif mode == "split":
-        d = decode_planar16_scaled(zq_ref[...], jnp.bfloat16)
+        # PER-PLANE dots instead of concat+one-dot: the concat forces all
+        # 16 plane decodes (VPU) to finish before the MXU starts; issuing
+        # one dot per plane lets Mosaic overlap plane m+1's decode with
+        # plane m's matmul (decode was ~35% of the serialized step).  Each
+        # plane's product lands in its own output column slice — exactly
+        # the plane-major layout the concat produced.
+        from .common import _MASKS, _SHIFTS
+
         bt32 = bt_ref[...]
         bhi = bt32.astype(jnp.bfloat16)
         blo = (bt32 - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
         bcat = jnp.concatenate([bhi, blo], axis=0)
-        prod = jnp.dot(bcat, d, preferred_element_type=jnp.float32)
+        words = zq_ref[...]
+        prods = []
+        for m in range(16):
+            if m < 15:
+                plane = (words & _MASKS[m]).astype(jnp.int32).astype(
+                    jnp.bfloat16)
+            else:
+                plane = ((words >> _SHIFTS[15]) & 3).astype(jnp.int32).astype(
+                    jnp.bfloat16)
+            prods.append(jnp.dot(bcat, plane,
+                                 preferred_element_type=jnp.float32))
+        prod = jnp.concatenate(prods, axis=1)
     else:
         d = decode_planar16_scaled(zq_ref[...], jnp.bfloat16)
         prod = jnp.dot(bt_ref[...], d, preferred_element_type=jnp.float32)
@@ -228,8 +246,33 @@ def packed_matmul(
     """
     rows, kw = zq.shape
     cols, n = b.shape
+    if n > 512:
+        # wide RHS: chunk the N axis — the [16*tile_kw, n] RHS block is the
+        # one VMEM term tiling cannot shrink (tile_kw bottoms out at 128),
+        # so beyond ~512 columns the kernel must run per column chunk
+        return jnp.concatenate(
+            [packed_matmul(zq, b[:, j: j + 512], tile_r=tile_r,
+                           tile_kw=tile_kw, split=split,
+                           single_bf16=single_bf16, interpret=interpret)
+             for j in range(0, n, 512)], axis=1)
     tile_r = pick_tile(rows, tile_r, 8)
     tile_kw = pick_tile(kw, tile_kw, 128)
+
+    # Mosaic's scoped-VMEM stack is 16 MB and its staging copies add ~60%
+    # on top of the naive operand sizes (measured: a 10.7 MB estimate
+    # compiled to a 16.2 MB stack for the f32 kernel at n=500, kw=128 —
+    # the round-2 verify drive's OOM).  Shrink the row tile until the
+    # padded-N estimate clears a 12 MB budget.
+    npad_l = -(-n // 128) * 128
+    bpp = 2 if single_bf16 else 4
+
+    def wide_est(tr, tkw):
+        return (1.6 * (tr * 16 * tkw * bpp + 16 * tkw * npad_l * bpp)
+                + 2 * tr * npad_l * 4 + tr * tkw * 4)
+
+    while (wide_est(tile_r, tile_kw) > 12 * 2**20
+           and tile_r // 2 >= 256 and rows % (tile_r // 2) == 0):
+        tile_r //= 2
 
     split_in_kernel = split and not single_bf16 and n > 64
     if split_in_kernel:
@@ -239,18 +282,27 @@ def packed_matmul(
         # clears Mosaic's 16 MB scoped-VMEM stack (with headroom for
         # Mosaic's own margins).  Halving only while the result still
         # divides the axis and respects the 128 trailing-dim minimum.
+        # N counts at its 128-lane padded width, and the budget leaves
+        # ~4 MB for Mosaic staging copies (measured: est 12.6 MB compiled
+        # to a 16.2 MB stack at n=500, kw=128 — the verify drive's OOM).
+        npad = -(-n // 128) * 128
         def vmem_est(tr, tkw):
-            return (tr * 16 * tkw * 2             # decoded genotype tile bf16
-                    + 16 * tkw * n * (4 + 2 + 2)  # b32 + bhi + blo
-                    + 2 * tr * n * 4              # prod + out accumulator
-                    + tr * tkw * 4)               # packed zq tile
-        budget = 13 * 2**20
+            return (tr * 16 * tkw * 2                # decoded tile bf16
+                    + 16 * tkw * npad * (4 + 2 + 2)  # b32 + bhi + blo
+                    + 2 * tr * npad * 4              # prod + out accumulator
+                    + tr * tkw * 4)                  # packed zq tile
+        budget = 12 * 2**20
         while (vmem_est(tile_r, tile_kw) > budget
                and tile_kw // 2 >= 128 and kw % (tile_kw // 2) == 0):
             tile_kw //= 2
         while (vmem_est(tile_r, tile_kw) > budget
                and tile_r // 2 >= 256 and rows % (tile_r // 2) == 0):
             tile_r //= 2
+        if vmem_est(tile_r, tile_kw) > budget:
+            # tiles cannot shrink further (divisibility / Mosaic minima):
+            # fall back to the host-concat split, whose RHS tile is bf16
+            # [16*tkw, 2n] — roughly half the in-kernel form's footprint
+            split_in_kernel = False
 
     nk = kw // tile_kw
     b2 = _reorder_rhs(b.astype(jnp.float32), cols, kw, tile_kw)
@@ -549,28 +601,39 @@ def dgemm(
         )
 
     zq_other = g.zq_t if trans == "n" else g.zq_n
+    if mode == "colmeans" and g.pseudo_freq is None:
+        raise ValueError("colmeans centering needs pseudo_freq")
     # streamed rows = n for single-pass modes, 2n for the hi/lo split
     tall_limit = 128 if precision in ("bf16", "f32") else 64
+    centered_done = False
     if precision == "f64":
         c = packed_matmul_f64(
             zq, b, tile_r=tile_r, tile_kw=tile_kw, split=True,
             interpret=interpret,
         )
+        c = c[:rows]
     elif (precision in ("fast", "bf16", "f32") and b.shape[1] <= tall_limit
           and b.shape[0] <= zq_other.shape[0]):
-        # skinny RHS: tall transposed schedule (see _pmm_tall_kernel)
+        # skinny RHS: tall transposed schedule (see _pmm_tall_kernel).
+        # Tile overrides carry over: tile_r -> tile_s (first grid axis,
+        # same 1024 default), tile_kw -> tile_kw (packed-word tile).
+        # (An in-kernel fused centering-reduction variant was measured
+        # SLOWER than the separate XLA epilogue — +32 vs +22 us — and was
+        # dropped; see git history for _pmm_tall_kernel_fb.)
         tall_mode = {"fast": "split", "bf16": "bf16", "f32": "f32"}[precision]
         c = packed_matmul_tall(zq_other, b, mode=tall_mode,
+                               tile_s=tile_r, tile_kw=tile_kw,
                                interpret=interpret)
+        c = c[:rows]
     else:
         c = packed_matmul(
             zq, b, tile_r=tile_r, tile_kw=tile_kw,
             split=(precision == "fast"),
             single_bf16=(precision == "bf16"), interpret=interpret,
         )
-    c = c[:rows]
+        c = c[:rows]
 
-    if mode != "none":
+    if mode != "none" and not centered_done:
         bc = b.astype(c.dtype)
         if mode in ("rowmeans", "user"):
             cvec = (2.0 * g.freq if mode == "rowmeans" else user_vec)
@@ -580,15 +643,14 @@ def dgemm(
             else:
                 c = c - cvec[:, None] * jnp.sum(bc, axis=0)[None, :]
         else:  # colmeans: per-individual centers
-            if g.pseudo_freq is None:
-                raise ValueError("colmeans centering needs pseudo_freq")
             pvec = (2.0 * g.pseudo_freq).astype(c.dtype)
             if trans == "n":
                 c = c - pvec[: rows, None] * jnp.sum(bc, axis=0)[None, :]
             else:
                 c = c - (pvec @ bc)[None, :]
-        if not ignore_missings and g.miss_rows_n is not None:
-            c = _missing_correction(g, bc, c, trans, mode, user_vec)
+    if mode != "none" and not ignore_missings and g.miss_rows_n is not None:
+        c = _missing_correction(g, b.astype(c.dtype), c, trans, mode,
+                                user_vec)
     if normalize:
         s2 = g.sigma2 if trans == "t" else g.pseudo_sigma2
         c = c / jnp.sqrt(s2).astype(c.dtype)

@@ -434,6 +434,9 @@ def grm_blocked(
     out: Optional["np.ndarray"] = None,
 ):
     """Out-of-core GRM for panels whose relationship matrix (or packed
+    [missing genotypes, if any, contribute -2f bias per entry here — the
+    exact correction path lives in grm(); blocked sources carry no missing
+    index lists]
     genotypes) exceed device HBM — the single-chip path for the reference's
     "large" simulated panels (e.g. 100K+ individuals,
     utils/genotype_simulation_plink/Makefile:1-9).
