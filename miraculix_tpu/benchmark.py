@@ -374,6 +374,123 @@ def bench_sparse_solve(n: int = 1_000_000, avg_offdiag: int = 9,
     }
 
 
+def bench_gblup_fullscale(snps: int = 1_048_576, indiv: int = 100_096,
+                          chunks: int = 16, h2: float = 0.5,
+                          tol: float = 1e-3, maxiter: int = 60) -> dict:
+    """BASELINE config 5 at full scale: GBLUP CG on ~1M SNPs x 100K
+    individuals, ENTIRELY on one chip.
+
+    The packed panel (2 x 25 GB for both orientations) exceeds HBM, so the
+    SNP axis is chunked and each chunk's packed words are REGENERATED
+    on-device from a counter-based hash whenever the matvec touches them —
+    trading ~2 VPU ops/word for 50 GB of storage, which keeps the whole CG
+    loop (lax.while_loop + fori_loop over chunks) on-device with zero
+    host<->device traffic.  The .bed-backed equivalent is
+    ``cli gblup --stream-chunk`` (StreamedGeno), whose per-chunk compute is
+    identical but streams chunks over PCIe/ICI from host RAM — on this
+    tunneled 1-chip session host->device runs at ~33 MB/s, which makes the
+    storage-backed full-scale run an offline exercise (BENCHMARKS.md).
+
+    Single matvec = tall 't' pass + wide 'n' pass per chunk with exact 2f
+    centering, i.e. (Zc Zcᵀ)x accumulated over chunks — the K-split +
+    psum pattern of the distributed layer, serialized on one chip.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.common import on_cpu
+    from .ops.dgemm import packed_matmul, packed_matmul_tall
+    from .solve.cg import cg
+
+    interp = on_cpu()
+
+    if snps % chunks:
+        raise ValueError("snps must divide into chunks")
+    chunk_snps = snps // chunks
+    kw_chunk = chunk_snps // 16
+    lam = (1.0 - h2) / h2
+
+    def hash_u32(x):
+        # splitmix-style avalanche; uint32 wrap-around arithmetic
+        x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x7FEB352D)
+        x = (x ^ (x >> jnp.uint32(15))) * jnp.uint32(0x846CA68B)
+        return x ^ (x >> jnp.uint32(16))
+
+    def gen_chunk(c):
+        base = jnp.uint32(c) * jnp.uint32(kw_chunk * indiv + 1)
+        idx = (base + jax.lax.broadcasted_iota(jnp.uint32,
+                                               (indiv, kw_chunk), 0)
+               * jnp.uint32(kw_chunk)
+               + jax.lax.broadcasted_iota(jnp.uint32, (indiv, kw_chunk), 1))
+        r = hash_u32(idx)
+        a = r & jnp.uint32(0x55555555)
+        b = (r >> jnp.uint32(1)) & jnp.uint32(0x55555555)
+        return (((b & ~a) << jnp.uint32(1)) | (a & ~b)).astype(jnp.int32)
+
+    @jax.jit
+    def compute_freq():
+        ones = jnp.ones((indiv, 1), jnp.float32)
+
+        def step(c, acc):
+            s = packed_matmul_tall(gen_chunk(c), ones,
+                                   interpret=interp)[:, 0]
+            return jax.lax.dynamic_update_slice(acc, s, (c * chunk_snps,))
+
+        sums = jax.lax.fori_loop(0, chunks, step,
+                                 jnp.zeros((snps,), jnp.float32))
+        return sums / (2.0 * indiv)
+
+    freq = compute_freq()
+    freq.block_until_ready()
+
+    def matvec(freqv, lam_s2, x):
+        ones_x = jnp.sum(x, axis=0)
+
+        def step(c, y):
+            zq = gen_chunk(c)
+            u = packed_matmul_tall(zq, x, interpret=interp)  # Z_ckᵀ x
+            f_ck = jax.lax.dynamic_slice(
+                freqv, (c * chunk_snps,), (chunk_snps,))
+            uc = u[:chunk_snps] - 2.0 * f_ck[:, None] * ones_x[None, :]
+            y2 = packed_matmul(zq, uc,
+                               interpret=interp)[:indiv]  # Z_ck uc
+            corr = (2.0 * f_ck) @ uc
+            return y + y2 - corr[None, :]
+
+        y = jax.lax.fori_loop(0, chunks, step, jnp.zeros_like(x))
+        return y + lam_s2 * x
+
+    @jax.jit
+    def solve(freqv, y):
+        s2 = 2.0 * jnp.sum(freqv * (1.0 - freqv))
+        res = cg(lambda v: matvec(freqv, lam * s2, v), y,
+                 tol=tol * jnp.linalg.norm(y), maxiter=maxiter)
+        return res.x, res.iterations, res.residual_norm
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((indiv, 1)), jnp.float32)
+
+    t0 = time.time()
+    x, iters, resid = solve(freq, y)
+    int(iters)  # sync
+    compile_s = time.time() - t0
+    t0 = time.time()
+    x, iters, resid = solve(freq, y)
+    iters = int(iters)
+    wall = time.time() - t0
+    rel = float(resid[0]) / float(jnp.linalg.norm(y))
+    return {
+        "suite": "gblup_fullscale",
+        "config": f"{snps}x{indiv} GBLUP CG on-device, h2={h2}, "
+                  f"{chunks} regenerated chunks, ncol=1",
+        "cg_iterations": iters,
+        "rel_residual": rel,
+        "wall_s": round(wall, 2),
+        "compile_plus_first_run_s": round(compile_s, 2),
+        "converged": bool(rel <= tol * 1.5),
+    }
+
+
 def bench_scaling(n_devices: Optional[int] = None, snps: int = 131072,
                   indiv: int = 1024, ncol: int = 8) -> dict:
     """SNP-sharded dgemm scaling efficiency across the available mesh
@@ -420,8 +537,8 @@ def bench_scaling(n_devices: Optional[int] = None, snps: int = 131072,
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="miraculix_tpu.benchmark")
     ap.add_argument("--suite", default="all",
-                    choices=["dgemm", "grm", "ld", "sparse_solve", "scaling",
-                             "all"])
+                    choices=["dgemm", "grm", "ld", "sparse_solve",
+                             "gblup_fullscale", "scaling", "all"])
     ap.add_argument("--panels", nargs="*", default=["small"])
     ap.add_argument("--ncol", type=int, default=32)
     ap.add_argument("--sparse-n", type=int, default=1_000_000)
@@ -446,6 +563,8 @@ def main(argv=None) -> int:
                 print(json.dumps(bench_ld(p)))
     if args.suite == "sparse_solve":
         print(json.dumps(bench_sparse_solve(n=args.sparse_n)))
+    if args.suite == "gblup_fullscale":
+        print(json.dumps(bench_gblup_fullscale()))
     if args.suite in ("scaling", "all"):
         print(json.dumps(bench_scaling()))
     return 0

@@ -71,3 +71,16 @@ def test_bench_sparse_solve_small_real():
     row = bm.bench_sparse_solve(n=300, ncol=2, iters=2)
     assert row["suite"] == "sparse_solve"
     assert row["rel_residual"] < 1e-4
+
+
+def test_gblup_fullscale_suite_routing(monkeypatch, capsys):
+    monkeypatch.setattr(bm, "bench_gblup_fullscale",
+                        lambda: {"suite": "gblup_fullscale"})
+    assert bm.main(["--suite", "gblup_fullscale"]) == 0
+    assert "gblup_fullscale" in capsys.readouterr().out
+
+
+def test_bench_gblup_fullscale_toy():
+    row = bm.bench_gblup_fullscale(snps=4096, indiv=256, chunks=2,
+                                   maxiter=200, tol=1e-3)
+    assert row["converged"] and row["cg_iterations"] > 0
