@@ -220,10 +220,14 @@ def _dec_four_byte(buf, indiv, snps):
     return buf[:indiv, :snps].astype(np.uint8)
 
 
-# haplo byte/word codings keep the historical column-per-individual
-# orientation (the reference's haplo layer is SNP-major column storage)
-def _dec_col_major_bytes(buf, indiv, snps):
-    return buf.T[:indiv].astype(np.uint8)
+# haplo byte/word codings: one value per ALLELE, per-individual rows, with
+# the allele-2 twin plane a whole lda*individuals block after plane 1
+# (reference getHaploIncr, HaploUint.cc:41-47: *delta = lda*individuals)
+def _dec_haplo_plane_blocks(buf, indiv, snps):
+    half = buf.shape[0] // 2
+    a1 = buf[:half][:indiv, :snps].astype(np.uint8)
+    a2 = buf[half:][:indiv, :snps].astype(np.uint8)
+    return (a1 + 2 * a2).astype(np.uint8)
 
 
 def _enc_planar16(g):
@@ -261,26 +265,38 @@ def _dec_one_bit_haplo(buf, indiv, snps):
 
 
 def _enc_one_byte_haplo(h):
-    return np.asarray(h, dtype=np.uint8).T.copy()
-
-
-def _enc_four_byte_haplo(h):
-    return np.asarray(h, dtype=np.int32).T.copy()
-
-
-def _enc_eight_byte_haplo(h):
-    """Two stacked int32 planes (allele1 block then allele2 block) —
-    reference EightByteHaplo (Haplo.h): one 4-byte int per allele."""
+    """Reference OneByteHaplo: one byte per allele, row per individual,
+    allele-2 twin plane block at lda*individuals (HaploUint.cc:41-47)."""
     h = np.asarray(h)
-    a1 = (h & 1).astype(np.int32).T
-    a2 = ((h >> 1) & 1).astype(np.int32).T
+    a1 = (h & 1).astype(np.uint8)
+    a2 = ((h >> 1) & 1).astype(np.uint8)
     return np.concatenate([a1, a2], axis=0).copy()
 
 
+def _enc_four_byte_haplo(h):
+    """Reference FourByteHaplo: like OneByteHaplo with 4-byte ints
+    (HaploUint.cc:41-47 shares the OneByte/FourByte delta arm)."""
+    h = np.asarray(h)
+    a1 = (h & 1).astype(np.int32)
+    a2 = ((h >> 1) & 1).astype(np.int32)
+    return np.concatenate([a1, a2], axis=0).copy()
+
+
+def _enc_eight_byte_haplo(h):
+    """Reference EightByteHaplo: 8 bytes per code = ADJACENT (allele1,
+    allele2) 4-byte ints per SNP within each individual's row
+    (HaploUint.cc:54-58: nextHaploIncr = 2 units, twin delta = 1)."""
+    h = np.asarray(h)
+    n, s = h.shape
+    out = np.empty((n, 2 * s), np.int32)
+    out[:, 0::2] = h & 1
+    out[:, 1::2] = (h >> 1) & 1
+    return out
+
+
 def _dec_eight_byte_haplo(buf, indiv, snps):
-    half = buf.shape[0] // 2
-    a1 = buf[:half].T[:indiv].astype(np.uint8)
-    a2 = buf[half:].T[:indiv].astype(np.uint8)
+    a1 = buf[:indiv, 0:2 * snps:2].astype(np.uint8)
+    a2 = buf[:indiv, 1:2 * snps:2].astype(np.uint8)
     return (a1 + 2 * a2).astype(np.uint8)
 
 
@@ -296,8 +312,8 @@ _CODECS: Dict[Coding, Tuple[Callable, Callable]] = {
     Coding.PLANAR16: (_enc_planar16, _dec_planar16),
     Coding.ONE_BIT_HAPLO: (_enc_one_bit_haplo, _dec_one_bit_haplo),
     Coding.TWO_BIT_HAPLO: (_enc_two_bit_haplo, _dec_two_bit_haplo),
-    Coding.ONE_BYTE_HAPLO: (_enc_one_byte_haplo, _dec_col_major_bytes),
-    Coding.FOUR_BYTE_HAPLO: (_enc_four_byte_haplo, _dec_col_major_bytes),
+    Coding.ONE_BYTE_HAPLO: (_enc_one_byte_haplo, _dec_haplo_plane_blocks),
+    Coding.FOUR_BYTE_HAPLO: (_enc_four_byte_haplo, _dec_haplo_plane_blocks),
     Coding.EIGHT_BYTE_HAPLO: (_enc_eight_byte_haplo, _dec_eight_byte_haplo),
 }
 

@@ -181,3 +181,77 @@ def test_round_trip_all(coding):
         g = np.where(g == 3, 0, g).astype(np.uint8)  # 5codes has no missing
     np.testing.assert_array_equal(
         decode(encode(g, coding), coding, 13, 29), g)
+
+
+# ---------------------------------------------------------------------------
+# Haplotype codings (layouts from getHaploIncr, HaploUint.cc:34-72, and the
+# TwoBitHaplo packer Haplo2_Uint.cc:46-88)
+# ---------------------------------------------------------------------------
+
+def _haplo(rows):
+    """Canonical haplo matrix: value = allele1 + 2*allele2, each in {0,1}."""
+    return np.array(rows, dtype=np.uint8)
+
+
+def test_two_bit_haplo_golden():
+    # Haplo2_Uint.cc:70-74: field at shft = h1 | h2 << (shft+1), i.e. the
+    # 2-bit field IS h1 + 2*h2, packed low-bits-first along SNPs per row.
+    h = _haplo([[1, 0, 3, 2, 1],
+                [2, 3, 0, 1, 0]])
+    want = np.zeros((2, 2), np.uint8)
+    for i in range(2):
+        for s in range(5):
+            h1, h2 = h[i, s] & 1, (h[i, s] >> 1) & 1
+            want[i, s // 4] |= (h1 | (h2 << 1)) << (2 * (s % 4))
+    buf = encode(h, Coding.TWO_BIT_HAPLO)
+    np.testing.assert_array_equal(buf, want)
+    np.testing.assert_array_equal(decode(want, Coding.TWO_BIT_HAPLO, 2, 5), h)
+
+
+def test_one_bit_haplo_golden():
+    # getHaploIncr: deltaCompressed = lda*individuals for doubled cols ->
+    # plane-1 rows for ALL individuals, then the plane-2 block.
+    h = _haplo([[1, 0, 3, 2, 1, 3, 0, 2, 1],
+                [2, 3, 0, 1, 0, 1, 3, 2, 0]])
+    want = np.zeros((4, 2), np.uint8)  # 2 indiv x 2 planes, 2 bytes/row
+    for i in range(2):
+        for s in range(9):
+            want[i, s // 8] |= (h[i, s] & 1) << (s % 8)
+            want[2 + i, s // 8] |= ((h[i, s] >> 1) & 1) << (s % 8)
+    buf = encode(h, Coding.ONE_BIT_HAPLO)
+    np.testing.assert_array_equal(buf, want)
+    np.testing.assert_array_equal(decode(want, Coding.ONE_BIT_HAPLO, 2, 9), h)
+
+
+def test_one_byte_haplo_golden():
+    h = _haplo([[1, 3, 0], [2, 0, 1]])
+    want = np.array([[1, 1, 0],   # indiv 0 allele1
+                     [0, 0, 1],   # indiv 1 allele1
+                     [0, 1, 0],   # indiv 0 allele2 (twin plane block)
+                     [1, 0, 0]], np.uint8)
+    buf = encode(h, Coding.ONE_BYTE_HAPLO)
+    np.testing.assert_array_equal(buf, want)
+    np.testing.assert_array_equal(decode(want, Coding.ONE_BYTE_HAPLO, 2, 3), h)
+
+
+def test_four_byte_haplo_golden():
+    h = _haplo([[1, 3, 0], [2, 0, 1]])
+    want = np.array([[1, 1, 0], [0, 0, 1],
+                     [0, 1, 0], [1, 0, 0]], np.int32)
+    buf = encode(h, Coding.FOUR_BYTE_HAPLO)
+    np.testing.assert_array_equal(buf, want)
+    assert buf.dtype == np.int32
+    np.testing.assert_array_equal(
+        decode(want, Coding.FOUR_BYTE_HAPLO, 2, 3), h)
+
+
+def test_eight_byte_haplo_golden():
+    # HaploUint.cc:54-58: nextHaploIncr=2, delta=1 -> adjacent
+    # (allele1, allele2) int pairs per SNP within each individual's row.
+    h = _haplo([[1, 3, 0], [2, 0, 1]])
+    want = np.array([[1, 0, 1, 1, 0, 0],
+                     [0, 1, 0, 0, 1, 0]], np.int32)
+    buf = encode(h, Coding.EIGHT_BYTE_HAPLO)
+    np.testing.assert_array_equal(buf, want)
+    np.testing.assert_array_equal(
+        decode(want, Coding.EIGHT_BYTE_HAPLO, 2, 3), h)
