@@ -166,6 +166,56 @@ def bench_dgemm(panel: str, ncol: int = 32, iters: int = 64,
     return out
 
 
+def bench_dgemm_exact(panel: str = "small", ncol: int = 8,
+                      reps: int = 5) -> dict:
+    """The exact f64 tier (integer-digit / Ozaki path): WALL time per call
+    including host digit extraction and f64 recombination — the tier is
+    host-orchestrated by design, so the interleaved on-device protocol does
+    not apply; the median of ``reps`` wall clocks is reported, with the
+    f32-HIGHEST tier's wall for context (the tier the exact path replaced
+    as the accuracy ceiling)."""
+    import statistics
+
+    import jax.numpy as jnp
+
+    from .geno import from_dense
+    from .io import bed
+    from .ops.dgemm import dgemm, packed_matmul_exact
+
+    p = PANELS[panel]
+    snps, indiv = p["snps"], p["indiv"]
+    g = bed.simulate_genotypes(indiv, snps, seed=0)
+    gm = from_dense(g)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal((snps, ncol))
+
+    def wall(fn):
+        fn()  # warm (compile + caches)
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return statistics.median(ts)
+
+    per = wall(lambda: packed_matmul_exact(gm.zq_n, b))
+    b32 = jnp.asarray(b, jnp.float32)
+    per_f32 = wall(lambda: np.asarray(
+        dgemm(gm, b32, trans="n", center=False, precision="f32")))
+    geno_ops = snps * indiv * ncol
+    return {
+        "suite": "dgemm_exact",
+        "panel": panel,
+        "config": f"{snps}x{indiv} ncol={ncol} exact-f64 (8 int8 digit "
+                  "passes, host recombine)",
+        "wall_seconds_per_call": round(per, 4),
+        "geno_col_ops_per_s": geno_ops / per,
+        "f32_highest_wall_s": round(per_f32, 4),
+        "slowdown_vs_f32_tier": round(per / max(per_f32, 1e-12), 2),
+        "relative_error_grade": "~1e-15 (vs ~1e-7 for f32-HIGHEST)",
+    }
+
+
 def bench_grm(panel: str, iters: int = 8, comparator: bool = False) -> dict:
     """Raw integer crossproduct (GRM direction) throughput."""
     import jax.numpy as jnp
@@ -537,8 +587,9 @@ def bench_scaling(n_devices: Optional[int] = None, snps: int = 131072,
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="miraculix_tpu.benchmark")
     ap.add_argument("--suite", default="all",
-                    choices=["dgemm", "grm", "ld", "sparse_solve",
-                             "gblup_fullscale", "scaling", "all"])
+                    choices=["dgemm", "dgemm_exact", "grm", "ld",
+                             "sparse_solve", "gblup_fullscale", "scaling",
+                             "all"])
     ap.add_argument("--panels", nargs="*", default=["small"])
     ap.add_argument("--ncol", type=int, default=32)
     ap.add_argument("--sparse-n", type=int, default=1_000_000)
@@ -561,6 +612,10 @@ def main(argv=None) -> int:
         for p in args.panels:
             if p in PANELS:
                 print(json.dumps(bench_ld(p)))
+    if args.suite == "dgemm_exact":
+        for p in args.panels:
+            if p in PANELS:
+                print(json.dumps(bench_dgemm_exact(p, ncol=args.ncol)))
     if args.suite == "sparse_solve":
         print(json.dumps(bench_sparse_solve(n=args.sparse_n)))
     if args.suite == "gblup_fullscale":

@@ -84,3 +84,11 @@ def test_bench_gblup_fullscale_toy():
     row = bm.bench_gblup_fullscale(snps=4096, indiv=256, chunks=2,
                                    maxiter=200, tol=1e-3)
     assert row["converged"] and row["cg_iterations"] > 0
+
+
+def test_dgemm_exact_suite_routing(monkeypatch, capsys):
+    monkeypatch.setattr(bm, "bench_dgemm_exact",
+                        lambda p, ncol: {"suite": "dgemm_exact", "panel": p})
+    bm.main(["--suite", "dgemm_exact", "--panels", "small", "--ncol", "4"])
+    out = capsys.readouterr().out
+    assert '"dgemm_exact"' in out and '"small"' in out
