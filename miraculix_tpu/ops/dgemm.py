@@ -23,10 +23,10 @@ rank-1 epilogue, exactly like the reference's cuBLAS epilogue
 
 Precision: genotypes are exact in bf16.  "fast" splits B into two bf16
 halves (B ≈ hi + lo) and runs two bf16 MXU passes with f32 accumulation —
-f32-grade accuracy at bf16 speed.  "f64" additionally chunks the contraction
-axis and accumulates chunk partials in float64, reaching 1e-4-grade relative
-accuracy on million-SNP reductions (cf. the reference's long-double
-accumulators, Vector.matrix.D.cc:42-229).
+f32-grade accuracy at bf16 speed.  "f64" expands B in base 2^7 int8 digits
+and rides exact int8×int8→int32 MXU passes, recombined in host float64
+(~1e-15 relative; `packed_matmul_exact` — the Ozaki scheme replacing the
+reference's long-double accumulators, Vector.matrix.D.cc:42-229).
 """
 from __future__ import annotations
 
@@ -472,58 +472,179 @@ def packed_matmul_tall(
     return ct.T
 
 
-def packed_matmul_f64(
+def _pmm_kernel_int8(zq_ref, b_ref, out_ref):
+    """acc += decode_int8(zq) @ b  (int8 x int8 -> int32, EXACT).
+
+    The digit-slice kernel of the exact-f64 path (``packed_matmul_exact``):
+    genotypes {0..3} x digits in [-64, 64] accumulate in int32 with zero
+    rounding while 192 * 16*kw < 2^31.  Per-plane dots overlap the VPU
+    decode of plane m+1 with plane m's MXU pass (the same restructure that
+    sped up the tall and crossprod kernels)."""
+    from .common import _SHIFTS
+
+    k = pl.program_id(1)
+    words = zq_ref[...]
+    tkw = words.shape[1]
+    acc = None
+    for m in range(16):
+        plane = ((words >> _SHIFTS[m]) & 3).astype(jnp.int8)
+        seg = b_ref[m * tkw:(m + 1) * tkw, :].astype(jnp.int8)
+        p = jax.lax.dot_general(
+            plane, seg,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = p if acc is None else acc + p
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[...] = acc
+
+    @pl.when(k != 0)
+    def _acc():
+        out_ref[...] = out_ref[...] + acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_r", "tile_kw", "interpret"))
+def packed_matmul_int8(
     zq: jax.Array,
     b: jax.Array,
     *,
-    chunk_kw: int = 1024,
-    **kw_args,
+    tile_r: int = DEFAULT_TILE_R,
+    tile_kw: int = DEFAULT_TILE_KW,
+    interpret: bool = False,
 ) -> jax.Array:
-    """packed_matmul with f32-pair RHS splitting and HOST float64 outer
-    accumulation over contraction chunks.
+    """decode(zq) @ b with int8 digit RHS, EXACT int32 accumulation.
 
-    B is split into an exact float32 hi/lo pair (48 mantissa bits — B's
-    representation error drops to ~1e-14 relative); each chunk of
-    ``chunk_kw`` packed words (= 16*chunk_kw genotype columns) runs through
-    the HIGHEST-precision f32 kernel and partials are summed in float64 on
-    the host.  Total relative error ~= 2^-24 * sqrt(16*chunk_kw) ~ 1e-5,
-    independent of the total SNP count — the TPU counterpart of the
-    reference's double / long-double accumulators (Vector.matrix.D.cc:42-229,
-    CUTLASS f64 SIMT path dgemm_compressed_cuda.h:111-698).
+    ``b`` is int32-typed (int8 values) [cols <= 16*kw, n]; rows are
+    reordered on device to plane-tile-major (the unscaled analogue of
+    ``_reorder_rhs``) so kernel block k sees the RHS slab matching the
+    decoded columns of packed word tile k."""
+    rows, kw = zq.shape
+    cols, n = b.shape
+    if 192 * 16 * kw >= 2 ** 31:
+        raise ValueError(
+            f"{16 * kw} genotype columns could overflow the exact int32 "
+            "digit accumulator (limit ~11.2M SNPs); chunk the contraction")
+    tile_r = pick_tile(rows, tile_r, 8)
+    tile_kw = pick_tile(kw, tile_kw, 128)
+    nk = kw // tile_kw
+    bpad = jnp.zeros((16 * kw, n), jnp.int32).at[:cols].set(b)
+    bre = (bpad.reshape(16, nk, tile_kw, n)
+           .transpose(1, 0, 2, 3).reshape(16 * kw, n))
+    grid = (rows // tile_r, nk)
+    cost = pl.CostEstimate(
+        flops=2 * rows * 16 * kw * n,
+        bytes_accessed=rows * kw * 4 + 16 * kw * n * 4 * (rows // tile_r)
+        + rows * n * 4,
+        transcendentals=0,
+    )
+    return call32(pl.pallas_call(
+        _pmm_kernel_int8,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_r, tile_kw), lambda r, k: (r, k)),
+            pl.BlockSpec((16 * tile_kw, n), lambda r, k: (k, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_r, n), lambda r, k: (r, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, n), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    ), zq, bre)
 
-    Host-orchestrated (TPU hardware has no f64; device-side f64 emulation
-    fails to compile under the TPU backend): not usable inside jit.  The
-    result is float64 when jax_enable_x64 is on, else float32.
+
+def packed_matmul_exact(
+    zq: jax.Array,
+    b,
+    *,
+    digits: int = 8,
+    tile_r: int = DEFAULT_TILE_R,
+    tile_kw: int = DEFAULT_TILE_KW,
+    interpret: Optional[bool] = None,
+    as_numpy: bool = True,
+):
+    """decode(zq) @ B to f64-GRADE accuracy via integer-digit splitting —
+    the Ozaki-scheme idea mapped to the int8 MXU.
+
+    Each RHS column is scaled by a power of two to (-1/2, 1/2) and expanded
+    in base 2^7 as ``digits`` int8 digit vectors (|digit| <= 64, extracted
+    with round-to-nearest so residuals stay in [-1/2, 1/2]).  Every digit
+    slice rides one EXACT int8 x int8 -> int32 MXU pass (2x the bf16 rate),
+    and the int32 partials recombine on host in float64 with power-of-two
+    weights — also exact.  The only error is the base-2^7 truncation of B,
+    ~2^-(7*digits) relative to each column's max (digits=8 -> ~1.4e-17),
+    plus one final f64 rounding per element: genuinely double-precision
+    results from hardware with no f64 unit.  This replaces the reference's
+    double / long-double accumulators (Vector.matrix.D.cc:42-229, CUTLASS
+    f64 SIMT path dgemm_compressed_cuda.h:111-698) at ~4x their bf16-pass
+    cost equivalent (8 digit passes at 2x rate) instead of a ~50x-slower
+    SIMT f64 path.
+
+    Host-orchestrated (digit extraction + f64 combine): not usable inside
+    jit.  Returns numpy float64 when ``as_numpy`` (default), else a jnp
+    array (f32 unless jax_enable_x64 is on).
     """
     import numpy as np
 
     if isinstance(b, jax.core.Tracer) or isinstance(zq, jax.core.Tracer):
         raise TypeError(
-            "precision='f64' is host-orchestrated (TPUs have no f64 "
+            "the exact/f64 tier is host-orchestrated (TPUs have no f64 "
             "hardware) and cannot run inside jit — call it eagerly, or use "
             "precision='f32' inside jitted solvers")
-    kw_args.pop("split", None)
+    if interpret is None:
+        interpret = on_cpu()
     rows, kw = zq.shape
-    cols, n = b.shape
     b64 = np.asarray(b, dtype=np.float64)
-    b_hi = b64.astype(np.float32)
-    b_lo = (b64 - b_hi.astype(np.float64)).astype(np.float32)
-    # Pad once to the full plane-major row space; chunks slice plane columns.
-    full_hi = np.zeros((16 * kw, n), np.float32)
-    full_hi[:cols] = b_hi
-    full_lo = np.zeros((16 * kw, n), np.float32)
-    full_lo[:cols] = b_lo
+    cols, n = b64.shape
+    if n > 512:  # VMEM guard: chunk wide RHS column blocks
+        return np.concatenate(
+            [packed_matmul_exact(zq, b64[:, j: j + 512], digits=digits,
+                                 tile_r=tile_r, tile_kw=tile_kw,
+                                 interpret=interpret, as_numpy=True)
+             for j in range(0, n, 512)], axis=1) if as_numpy else \
+            jnp.concatenate(
+            [jnp.asarray(packed_matmul_exact(
+                zq, b64[:, j: j + 512], digits=digits, tile_r=tile_r,
+                tile_kw=tile_kw, interpret=interpret, as_numpy=True))
+             for j in range(0, n, 512)], axis=1)
+    absmax = np.max(np.abs(b64), axis=0)
+    # absmax = m * 2^e with m in [0.5, 1)  =>  |b / 2^(e)| < 1 ... use e
+    # such that |x| < 1/2: frexp exponent IS that e (b < 2^e strictly)
+    e = np.where(absmax > 0, np.frexp(absmax)[1], 0).astype(np.float64)
+    scale = np.exp2(e)                      # |b|/scale in [0, 1) ... < 1
+    x = b64 / (2.0 * scale)                 # |x| < 1/2
     acc = np.zeros((rows, n), np.float64)
-    for c0 in range(0, kw, chunk_kw):
-        c1 = min(c0 + chunk_kw, kw)
-        # RHS rows matching word columns [c0, c1): planes at m*kw + c.
-        idx = (np.arange(16)[:, None] * kw + np.arange(c0, c1)[None, :]).reshape(-1)
-        for half in (full_hi, full_lo):
-            partial = packed_matmul(
-                zq[:, c0:c1], jnp.asarray(half[idx]), split=False, **kw_args
-            )
-            acc += np.asarray(partial, dtype=np.float64)
-    return jnp.asarray(acc)
+    for j in range(digits):
+        d = np.rint(x * 128.0)
+        x = x * 128.0 - d                   # residual in [-1/2, 1/2]
+        if not d.any():
+            continue
+        p = packed_matmul_int8(
+            zq, jnp.asarray(d, np.int32), tile_r=tile_r, tile_kw=tile_kw,
+            interpret=interpret)
+        acc += np.asarray(p, np.float64) * (
+            2.0 * scale * 128.0 ** -(j + 1))[None, :]
+    return acc if as_numpy else jnp.asarray(acc)
+
+
+def packed_matmul_f64(
+    zq: jax.Array,
+    b: jax.Array,
+    *,
+    as_numpy: bool = False,
+    **kw_args,
+) -> jax.Array:
+    """The ``precision='f64'`` tier: now a thin wrapper over
+    ``packed_matmul_exact`` (integer-digit splitting, ~1e-16 relative — it
+    superseded the older f32-pair K-chunked scheme whose floor was ~1e-5).
+    Host-orchestrated; see packed_matmul_exact."""
+    kw_args.pop("split", None)
+    kw_args.pop("chunk_kw", None)
+    return packed_matmul_exact(zq, b, as_numpy=as_numpy, **kw_args)
 
 
 # ---------------------------------------------------------------------------

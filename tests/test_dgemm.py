@@ -33,7 +33,7 @@ def test_dgemm_matches_oracle(rng, indiv, snps, n, trans, center):
     assert np.abs(c - want).max() / scale < 1e-4
 
 
-@pytest.mark.parametrize("precision,tol", [("fast", 1e-4), ("f32", 1e-5), ("f64", 1e-5)])
+@pytest.mark.parametrize("precision,tol", [("fast", 1e-4), ("f32", 1e-5), ("f64", 1e-12)])
 def test_dgemm_precision_modes(rng, precision, tol):
     g = _panel(rng, 120, 3000)
     gm = mx.from_dense(g)
@@ -209,13 +209,13 @@ for center in (False, True):
     want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64),
                                  center=center)
     err = np.abs(c - want).max() / np.abs(want).max()
-    assert err < 1e-5, (center, err)
+    assert err < 1e-12, (center, err)
 print("ok")
 """
 
 
 def test_dgemm_f64_tier_under_x64():
-    """precision='f64' must hold its ~1e-5 grade with jax_enable_x64 on —
+    """precision='f64' must hold its f64 grade (~1e-12) with jax_enable_x64 on —
     the mode where callers actually want float64 outputs.  Runs in a
     subprocess: toggling x64 at runtime poisons jit caches for the rest of
     the process."""
@@ -226,3 +226,20 @@ def test_dgemm_f64_tier_under_x64():
                          capture_output=True, text=True, timeout=300)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "ok" in res.stdout
+
+
+def test_packed_matmul_exact_digit_path(rng):
+    """The integer-digit (Ozaki-style) exact path: result matches a pure
+    float64 oracle to ~1e-15 — true double precision from int8 MXU passes."""
+    from miraculix_tpu.io import codec
+    from miraculix_tpu.ops.dgemm import packed_matmul_exact
+
+    g = _panel(rng, 64, 1500)
+    zq = codec.pack_planar16(g)
+    b = rng.standard_normal((1500, 3)) * np.exp2(
+        rng.integers(-20, 20, size=(1, 3)))  # wide per-column dynamic range
+    got = packed_matmul_exact(zq, b)
+    want = np.where(g == 3, 3, g).astype(np.float64) @ b
+    assert got.dtype == np.float64
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-13, rel
