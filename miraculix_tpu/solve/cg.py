@@ -117,3 +117,99 @@ def grm_cg_solve(
         return gv
 
     return cg(op, b, tol=tol, maxiter=maxiter)
+
+
+def grm_matvec_f64(g: GenoMatrix, v, center: bool = True,
+                   scale: bool = False):
+    """G·v in TRUE float64: the packed products run on device through the
+    EXACT integer-digit kernel (``packed_matmul_f64`` -> packed_matmul_exact,
+    int8 MXU passes with int32 accumulation) and the centering epilogue is
+    applied in numpy f64.  Result accurate to ~1e-15 relative — the TPU
+    counterpart of the reference's double-precision gV path
+    (Vector.matrix.D.cc:42-229) without f64 hardware.  Host-orchestrated:
+    not jittable; returns numpy float64."""
+    import numpy as np
+
+    from ..ops.common import on_cpu
+    from ..ops.dgemm import packed_matmul_f64
+
+    interpret = on_cpu()
+    v = np.asarray(v, np.float64)
+    squeeze = v.ndim == 1
+    if squeeze:
+        v = v[:, None]
+    f = 2.0 * np.asarray(g.freq, np.float64)
+
+    zv = packed_matmul_f64(g.zq_t, v, as_numpy=True,
+                           interpret=interpret)[: g.snps]
+    if center:
+        zv -= f[:, None] * v.sum(axis=0)[None, :]      # (Z-M)ᵀ v
+    gv = packed_matmul_f64(g.zq_n, zv, as_numpy=True,
+                           interpret=interpret)[: g.indiv]
+    if center:
+        gv -= (f @ zv)[None, :]                        # (Z-M) (·)
+    if scale:
+        gv /= float(g.sigma2)
+    return gv[:, 0] if squeeze else gv
+
+
+def grm_cg_solve_refined(
+    g: GenoMatrix,
+    b,
+    lam: float = 0.0,
+    center: bool = True,
+    scale: bool = False,
+    tol: float = 1e-10,
+    outer: int = 5,
+    inner_tol_factor: float = 1e-4,
+    inner_maxiter: int = 2000,
+    precision: str = "fast",
+):
+    """Float64-GRADE solve of (G + lam I) x = b by iterative refinement:
+    the inner CG runs entirely on device in fast-f32 (bf16-split MXU), the
+    outer loop computes true-f64 residuals via ``grm_matvec_f64`` and
+    re-solves for the correction.  Each outer pass multiplies the error by
+    the inner solver's relative accuracy (~1e-5), so 2-3 passes reach
+    ~1e-12 — the accuracy class of the reference's double-precision
+    solvers (solve_cuda.cu potrs path), delivered at device speed.
+
+    Returns ``(x, outer_iters, inner_iters_total, rel_residual)`` with
+    ``x`` numpy float64.  Host-orchestrated (not jittable).
+    """
+    import numpy as np
+
+    b = np.asarray(b, np.float64)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    n, k = b.shape
+    if n != g.indiv:
+        raise ValueError(f"b has {n} rows, expected indiv={g.indiv}")
+
+    def residual(x):
+        ax = grm_matvec_f64(g, x, center=center, scale=scale)
+        if lam:
+            ax = ax + lam * x
+        return b - ax
+
+    bnorm = np.maximum(np.linalg.norm(b, axis=0), 1e-300)
+    x = np.zeros_like(b)
+    r = b.copy()
+    inner_total = 0
+    it = 0
+    rel = np.linalg.norm(r, axis=0) / bnorm
+    while it < outer and rel.max() > tol:
+        # inner tolerance is RELATIVE to the current residual scale: the
+        # device CG only needs to knock the correction down by the factor
+        # the refinement step will then square away
+        rnorm = np.linalg.norm(r, axis=0).max()
+        res = grm_cg_solve(
+            g, jnp.asarray(r, jnp.float32), lam=lam, center=center,
+            scale=scale, tol=float(max(rnorm * inner_tol_factor, 1e-30)),
+            maxiter=inner_maxiter, precision=precision)
+        x = x + np.asarray(res.x, np.float64)
+        inner_total += int(res.iterations)
+        r = residual(x)
+        rel = np.linalg.norm(r, axis=0) / bnorm
+        it += 1
+    return (x[:, 0] if squeeze else x), it, inner_total, rel

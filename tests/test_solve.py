@@ -208,3 +208,37 @@ def test_sqrt_rhs(rng):
     b = jnp.asarray(rng.standard_normal((20, 3)))
     np.testing.assert_allclose(np.asarray(sqrt_rhs(a, b)),
                                np.asarray(sqrt_posdef(a) @ b), atol=1e-6)
+
+
+def test_grm_matvec_f64_true_double(rng):
+    """Host-f64 G·v matches the dense float64 oracle to ~1e-12 relative —
+    far past f32 (the fast path sits at ~1e-6)."""
+    g = bed.simulate_genotypes(64, 400, seed=21)
+    gm = mx.from_dense(g)
+    freq = np.asarray(gm.freq, np.float64)
+    zc = g.astype(np.float64) - 2.0 * freq[None, :]
+    v = rng.standard_normal((64, 3))
+    got = solve.grm_matvec_f64(gm, v)
+    want = zc @ (zc.T @ v)
+    assert got.dtype == np.float64
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-11, rel
+
+
+def test_grm_cg_solve_refined_f64_grade(rng):
+    """Iterative refinement reaches float64-class accuracy (~1e-10) that
+    the plain f32 CG cannot: the inner solves run on device, the outer
+    residuals in true f64."""
+    g = bed.simulate_genotypes(80, 500, seed=22)
+    gm = mx.from_dense(g)
+    freq = np.asarray(gm.freq, np.float64)
+    zc = g.astype(np.float64) - 2.0 * freq[None, :]
+    lam = 25.0
+    b = rng.standard_normal((80, 2))
+    x, outer, inner, rel = solve.grm_cg_solve_refined(
+        gm, b, lam=lam, tol=1e-10, outer=6)
+    want = np.linalg.solve(zc @ zc.T + lam * np.eye(80), b)
+    err = np.abs(x - want).max() / np.abs(want).max()
+    assert err < 1e-9, (err, outer, inner, rel)
+    assert rel.max() < 1e-10
+    assert outer >= 2  # plain f32 CG alone cannot reach this tolerance
