@@ -97,6 +97,7 @@ def gblup(
     tol: float = 1e-4,
     maxiter: int = 2000,
     seed: int = 0,
+    verbose: bool = False,
 ) -> GBLUPResult:
     """Full GBLUP estimation (calculate_gblup.jl:163-199 semantics).
 
@@ -144,7 +145,7 @@ def gblup(
 
             x_np, iters, rel = g.cg_solve(
                 np.asarray(rhs_arr, np.float64), lam=lam * sigma2,
-                scale=False, tol=tol, maxiter=maxiter)
+                scale=False, tol=tol, maxiter=maxiter, verbose=verbose)
             return CGResult(jnp.asarray(x_np, jnp.float32),
                             jnp.int32(iters), jnp.asarray(rel))
         if isinstance(g, ShardedGeno):
@@ -220,7 +221,7 @@ def simulate_phenotypes(
 
 def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
               solver: str = "cg", stream_chunk: int = 0,
-              tol: float = 1e-4) -> int:
+              tol: float = 1e-4, verbose: bool = False) -> int:
     """CLI entry: full pipeline on a .bed fileset; phenotypes from the .fam
     6th column when present, else simulated with known breeding values.
 
@@ -234,8 +235,10 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
 
         g = StreamedGeno.from_bed(bed_path, chunk_snps=stream_chunk,
                                   verbose=True)
+        cached = g.cache_to_device()  # hybrid: pin what fits in free HBM
         print(f"streamed panel: {g.snps} snps x {g.indiv} indiv, "
-              f"{g.n_chunks} chunks, {g.nbytes() / 1e9:.1f} GB packed (host)")
+              f"{g.n_chunks} chunks, {g.nbytes() / 1e9:.1f} GB packed "
+              f"({cached} chunks pinned in HBM, rest host-streamed)")
     else:
         g = from_bed(bed_path)
     # phenotype = 6th whitespace column of each .fam line (parse per line:
@@ -270,7 +273,8 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
         y, bv_true = simulate_phenotypes(geno, h2=h2)
         print("(.fam has no phenotypes — simulated with known BVs)")
 
-    res = gblup(g, y, h2=h2, n_pcs=pcs, solver=solver, tol=tol)
+    res = gblup(g, y, h2=h2, n_pcs=pcs, solver=solver, tol=tol,
+                verbose=verbose or stream_chunk > 0)
     print(f"beta: {np.round(res.beta[:3], 4)}... "
           f"(CG iterations: {res.cg_iterations})")
     if bv_true is not None:

@@ -71,6 +71,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if hasattr(lib, "mx_bed_ingest"):
             lib.mx_bed_ingest.argtypes = [u8p, i64, i64, i64, i64, i64, i64,
                                           u32p, u32p, f64p, f64p]
+        if hasattr(lib, "mx_bed_colstats"):
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.mx_bed_colstats.argtypes = [u8p, i64, i64, i64p, i64p]
         lib.mx_codec_version.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -161,6 +164,22 @@ def transpose_u8(geno: np.ndarray) -> Optional[np.ndarray]:
     lib.mx_transpose_u8(_ptr(geno, ctypes.c_uint8), rows, cols,
                         _ptr(out, ctypes.c_uint8))
     return out
+
+
+def bed_colstats(payload: np.ndarray, snps: int, indiv: int):
+    """Per-individual (sum, called) over a raw SNP-major .bed payload —
+    the exact ingredients for combining pseudo-frequencies across SNP
+    chunks.  Returns (sum[indiv] int64, called[indiv] int64) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mx_bed_colstats"):
+        return None
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    out_sum = np.empty(indiv, dtype=np.int64)
+    out_called = np.empty(indiv, dtype=np.int64)
+    lib.mx_bed_colstats(_ptr(payload, ctypes.c_uint8), snps, indiv,
+                        _ptr(out_sum, ctypes.c_int64),
+                        _ptr(out_called, ctypes.c_int64))
+    return out_sum, out_called
 
 
 def bed_ingest(payload: np.ndarray, snps: int, indiv: int,

@@ -427,6 +427,41 @@ void mx_bed_ingest(const uint8_t* payload, int64_t snps, int64_t indiv,
     delete[] payT;
 }
 
-int mx_codec_version(void) { return 4; }
+// Per-individual genotype sums and non-missing counts straight off the raw
+// SNP-major .bed payload (no dense intermediate).  Lets chunked readers
+// combine whole-panel pseudo-frequencies exactly: pf[i] = Σ_chunks sum_i /
+// (2 Σ_chunks called_i) — the chunk-local pfreq ratios alone cannot be
+// merged when missing counts differ per individual.
+void mx_bed_colstats(const uint8_t* payload, int64_t snps, int64_t indiv,
+                     int64_t* out_sum, int64_t* out_called) {
+    const int64_t nbytes = (indiv + 3) / 4;
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < nbytes; ++b) {
+        int64_t sum[4] = {0, 0, 0, 0}, called[4] = {0, 0, 0, 0};
+        const uint8_t* col = payload + b;
+        for (int64_t s = 0; s < snps; ++s, col += nbytes) {
+            uint8_t byte = *col;
+            uint32_t d = LUT.dec4[byte];
+            uint32_t mm = LUT.miss4[byte];
+            sum[0] += d & 3u;
+            sum[1] += (d >> 2) & 3u;
+            sum[2] += (d >> 4) & 3u;
+            sum[3] += (d >> 6) & 3u;
+            called[0] += 1 - (int64_t)(mm & 1u);
+            called[1] += 1 - (int64_t)((mm >> 1) & 1u);
+            called[2] += 1 - (int64_t)((mm >> 2) & 1u);
+            called[3] += 1 - (int64_t)((mm >> 3) & 1u);
+        }
+        for (int j = 0; j < 4; ++j) {
+            int64_t i = 4 * b + j;
+            if (i < indiv) {
+                out_sum[i] = sum[j];
+                out_called[i] = called[j];
+            }
+        }
+    }
+}
+
+int mx_codec_version(void) { return 5; }
 
 }  // extern "C"

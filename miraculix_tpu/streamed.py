@@ -15,13 +15,21 @@ products on device or host:
   (column partition of Zc splits the product exactly; per-chunk centering
   with the chunk's frequency slice IS the global centering restricted to
   the chunk).
+
+All four centering modes stream exactly: per-SNP modes (rowmeans / none /
+user vector) restrict to chunk column slices, and 'colmeans' works because
+``from_bed`` injects the WHOLE-PANEL pseudo-frequencies into every chunk
+(combined from additive per-chunk sum/called stats — the chunk-local pfreq
+ratios cannot be merged when missing counts differ per individual); each
+chunk then subtracts pf·Σb over its own columns and the chunk sum
+telescopes to the materialized-panel result.
 - ``cg_solve``: host-driven CG on the streamed operator (the reference's
   GBLUP CG is likewise a host loop over dgemm_compressed calls,
   examples/iterative_solver/grm_solve_cg.jl:109-134).
 """
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -36,12 +44,20 @@ class StreamedGeno:
     live in HOST memory (numpy) and transfer to device per use."""
 
     def __init__(self, chunks: List[GenoMatrix], bounds: List[tuple],
-                 snps: int, indiv: int, freq: np.ndarray):
+                 snps: int, indiv: int, freq: np.ndarray,
+                 pseudo_freq: Optional[np.ndarray] = None):
         self.chunks = chunks
         self.bounds = bounds          # [(s0, s1)] per chunk
         self.snps = snps
         self.indiv = indiv
         self.freq = np.asarray(freq, np.float32)
+        # whole-panel per-individual frequencies (colmeans centering);
+        # injected into every chunk so per-chunk dgemm calls center with
+        # the GLOBAL pseudo-freq — which makes the streamed accumulation
+        # exactly the materialized-panel result (the chunk-local ratios
+        # would not combine when missing counts differ per individual)
+        self.pseudo_freq = (np.asarray(pseudo_freq, np.float32)
+                            if pseudo_freq is not None else None)
 
     @property
     def n_chunks(self) -> int:
@@ -50,6 +66,41 @@ class StreamedGeno:
     def nbytes(self) -> int:
         return sum(int(c.zq_n.nbytes + c.zq_t.nbytes) for c in self.chunks)
 
+    def cache_to_device(self, budget_bytes: Optional[int] = None) -> int:
+        """Pin leading chunks' packings in device HBM until ``budget_bytes``
+        is spent (default: 50% of reported free HBM, leaving headroom for
+        kernel outputs and XLA scratch).  Cached chunks skip the per-pass
+        H2D transfer; the rest keep streaming — the panel becomes a hybrid
+        of GenoMatrix (fully resident) and pure streaming, so mid-size
+        panels pay host bandwidth only for the overflow.  Returns the
+        number of chunks cached.  Idempotent: already-cached chunks count
+        against the budget but are not re-transferred."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        if budget_bytes is None:
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                free = stats.get("bytes_limit", 0) - stats.get(
+                    "bytes_in_use", 0)
+            except Exception:  # pragma: no cover - backend without stats
+                free = 0
+            budget_bytes = free // 2
+        spent = cached = 0
+        for i, c in enumerate(self.chunks):
+            need = int(c.zq_n.nbytes + c.zq_t.nbytes)
+            if spent + need > budget_bytes:
+                break
+            if isinstance(c.zq_n, np.ndarray) or isinstance(
+                    c.zq_t, np.ndarray):
+                self.chunks[i] = dataclasses.replace(
+                    c, zq_n=jnp.asarray(c.zq_n), zq_t=jnp.asarray(c.zq_t))
+            spent += need
+            cached += 1
+        return cached
+
     # -- construction ------------------------------------------------------
     @classmethod
     def from_bed(cls, path: str, chunk_snps: int = 65536,
@@ -57,38 +108,54 @@ class StreamedGeno:
         """Ingest a .bed fileset chunk by chunk (each SNP range is one
         contiguous byte span of the file; the fused native codec packs both
         orientations without a dense intermediate)."""
+        import dataclasses
+
         n_indiv = bedio._count_lines(path[:-4] + ".fam")
         n_snps = bedio._count_lines(path[:-4] + ".bim")
         chunks, bounds, freqs = [], [], []
+        gsum = np.zeros(n_indiv, np.int64)
+        gcalled = np.zeros(n_indiv, np.int64)
         for s0 in range(0, n_snps, chunk_snps):
             s1 = min(s0 + chunk_snps, n_snps)
-            g = _ingest_slice(path, s0, s1, n_indiv)
+            g, csum, ccalled = _ingest_slice(path, s0, s1, n_indiv)
             chunks.append(g)
             bounds.append((s0, s1))
             freqs.append(np.asarray(g.freq))
+            gsum += csum
+            gcalled += ccalled
             if verbose:
                 print(f"  ingested snps [{s0}, {s1}) of {n_snps}",
                       flush=True)
-        return cls(chunks, bounds, n_snps, n_indiv, np.concatenate(freqs))
+        pf = (gsum / (2.0 * np.maximum(gcalled, 1))).astype(np.float32)
+        chunks = [dataclasses.replace(c, pseudo_freq=pf) for c in chunks]
+        return cls(chunks, bounds, n_snps, n_indiv, np.concatenate(freqs),
+                   pseudo_freq=pf)
 
     # -- products ----------------------------------------------------------
     def dgemm(self, b: np.ndarray, trans: str = "n", center=True,
               precision: str = "fast") -> np.ndarray:
         """Streamed ``dgemm_compressed`` over all chunks (same semantics as
-        ops.dgemm.dgemm for rowmeans/none centering)."""
+        ops.dgemm.dgemm for every centering mode; see module docstring)."""
         from .ops.dgemm import dgemm as _dgemm
 
         b = np.asarray(b, np.float32)
         if b.ndim == 1:
             b = b[:, None]
         trans = trans.lower()
+        def _ck_center(s0, s1):
+            # a per-SNP user centering vector restricts to the chunk slice
+            if isinstance(center, np.ndarray) and center.ndim == 1 \
+                    and center.shape[0] == self.snps:
+                return center[s0:s1]
+            return center
+
         if trans == "t":
             if b.shape[0] != self.indiv:
                 raise ValueError("B rows must equal indiv for trans='t'")
             out = np.empty((self.snps, b.shape[1]), np.float32)
             for gck, (s0, s1) in zip(self.chunks, self.bounds):
                 out[s0:s1] = np.asarray(
-                    _dgemm(gck, b, trans="t", center=center,
+                    _dgemm(gck, b, trans="t", center=_ck_center(s0, s1),
                            precision=precision))
             return out
         if b.shape[0] != self.snps:
@@ -96,7 +163,7 @@ class StreamedGeno:
         acc = np.zeros((self.indiv, b.shape[1]), np.float32)
         for gck, (s0, s1) in zip(self.chunks, self.bounds):
             acc += np.asarray(
-                _dgemm(gck, b[s0:s1], trans="n", center=center,
+                _dgemm(gck, b[s0:s1], trans="n", center=_ck_center(s0, s1),
                        precision=precision))
         return acc
 
@@ -111,9 +178,13 @@ class StreamedGeno:
         if squeeze:
             x = x[:, None]
         acc = np.zeros((self.indiv, x.shape[1]), np.float32)
-        for gck in self.chunks:
-            u = _dgemm(gck, x, trans="t", center=center)
-            acc += np.asarray(_dgemm(gck, u, trans="n", center=center))
+        for gck, (s0, s1) in zip(self.chunks, self.bounds):
+            ck_center = center
+            if isinstance(center, np.ndarray) and center.ndim == 1 \
+                    and center.shape[0] == self.snps:
+                ck_center = center[s0:s1]  # per-SNP user centering vector
+            u = _dgemm(gck, x, trans="t", center=ck_center)
+            acc += np.asarray(_dgemm(gck, u, trans="n", center=ck_center))
         return acc[:, 0] if squeeze else acc
 
     @property
@@ -160,8 +231,12 @@ class StreamedGeno:
         return (x[:, 0] if squeeze else x), it, np.sqrt(rs) / bnorm
 
 
-def _ingest_slice(path: str, s0: int, s1: int, n_indiv: int) -> GenoMatrix:
-    """One SNP range of a .bed fileset as a host-resident GenoMatrix."""
+def _ingest_slice(path: str, s0: int, s1: int, n_indiv: int):
+    """One SNP range of a .bed fileset as a host-resident GenoMatrix, plus
+    the chunk's per-individual (genotype sum, called count) vectors — the
+    additive ingredients from which ``from_bed`` combines the whole-panel
+    pseudo-frequencies exactly (the chunk-local pfreq RATIOS cannot be
+    merged when per-individual missing counts differ)."""
     import jax.numpy as jnp  # noqa: F401  (GenoMatrix arrays stay numpy here)
 
     payload, _, _ = bedio.read_bed_slice_payload(path, s0, s1)
@@ -172,13 +247,18 @@ def _ingest_slice(path: str, s0: int, s1: int, n_indiv: int) -> GenoMatrix:
         spad, kwi = codec.planar16_dims(width, n_indiv, row_mult=256)
         out = _native.bed_ingest(payload, width, n_indiv, spad, kwi, ipad,
                                  kws)
-        if out is not None:
+        stats = _native.bed_colstats(payload, width, n_indiv)
+        if out is not None and stats is not None:
             zqt, zqn, freq_c, pfreq = out
-            return GenoMatrix(snps=width, indiv=n_indiv, zq_n=zqn, zq_t=zqt,
-                              freq=freq_c.astype(np.float32),
-                              pseudo_freq=pfreq.astype(np.float32))
+            gm = GenoMatrix(snps=width, indiv=n_indiv, zq_n=zqn, zq_t=zqt,
+                            freq=freq_c.astype(np.float32),
+                            pseudo_freq=pfreq.astype(np.float32))
+            return gm, stats[0], stats[1]
     # fallback: decode + pack on host
     from .geno import from_dense
 
     dense = codec.plink_to_dense(np.ascontiguousarray(payload.T), n_indiv)
-    return from_dense(dense, device_put=False)
+    miss = dense == 3
+    csum = np.where(miss, 0, dense).astype(np.int64).sum(axis=1)
+    ccalled = (~miss).sum(axis=1).astype(np.int64)
+    return from_dense(dense, device_put=False), csum, ccalled

@@ -77,3 +77,23 @@ def test_bed_ingest_fused_matches_fallback(tmp_path, rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(fast.pseudo_freq),
                                np.asarray(slow.pseudo_freq), atol=1e-6)
+
+
+def test_bed_colstats_exact(tmp_path):
+    """Per-individual sum/called straight off the payload: exact vs a
+    missing-aware numpy oracle, including the ragged last byte."""
+    from miraculix_tpu.io import bed, native
+
+    if native.get_lib() is None or not hasattr(native.get_lib(),
+                                               "mx_bed_colstats"):
+        import pytest
+        pytest.skip("native codec unavailable")
+    g = bed.simulate_genotypes(509, 1203, seed=4, missing_rate=0.07)
+    p = str(tmp_path / "cs.bed")
+    bed.write_bed(p, g)
+    payload, n_snps, n_indiv = bed.read_bed_payload(p)
+    s, c = native.bed_colstats(payload, n_snps, n_indiv)
+    miss = g == 3
+    np.testing.assert_array_equal(
+        s, np.where(miss, 0, g).astype(np.int64).sum(axis=1))
+    np.testing.assert_array_equal(c, (~miss).sum(axis=1))

@@ -60,3 +60,64 @@ def test_streamed_cg_converges(panel):
     resid = np.linalg.norm(a @ x - y) / np.linalg.norm(y)
     assert resid < 1e-4
     assert iters < 300
+
+
+def test_cache_to_device_hybrid(tmp_path):
+    """Hybrid resident/streamed: cached chunks give identical results and
+    the budget caps how many chunks are pinned."""
+    path = str(tmp_path / "p.bed")
+    g = bed.simulate_genotypes(64, 520, seed=7)
+    bed.write_bed(path, g)
+    sg = StreamedGeno.from_bed(path, chunk_snps=256)
+    assert sg.n_chunks == 3
+    first = int(sg.chunks[0].zq_n.nbytes + sg.chunks[0].zq_t.nbytes)
+    assert sg.cache_to_device(budget_bytes=first) == 1
+    assert not isinstance(sg.chunks[0].zq_n, np.ndarray)  # device array now
+    assert isinstance(sg.chunks[1].zq_n, np.ndarray)      # still host
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(64).astype(np.float32)
+    got = sg.grm_matvec(x)
+    gm = from_dense(g)
+    f = np.asarray(gm.freq, np.float64)
+    zc = g.astype(np.float64) - 2.0 * f[None, :]
+    want = zc @ (zc.T @ x.astype(np.float64))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+    # idempotent; big-enough budget pins the rest
+    assert sg.cache_to_device(budget_bytes=sg.nbytes()) == 3
+    assert not isinstance(sg.chunks[2].zq_n, np.ndarray)
+    got2 = sg.grm_matvec(x)
+    np.testing.assert_allclose(got2, got, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("trans", ["n", "t"])
+def test_streamed_colmeans_matches_memory(tmp_path, trans):
+    """'colmeans' streams exactly: from_bed injects the WHOLE-panel
+    pseudo-frequencies (combined from additive chunk sum/called stats,
+    missing-aware) into every chunk, so the chunked accumulation equals
+    the materialized GenoMatrix result."""
+    path = str(tmp_path / "cm.bed")
+    g = bed.simulate_genotypes(96, 700, seed=33, missing_rate=0.05)
+    bed.write_bed(path, g)
+    sg = StreamedGeno.from_bed(path, chunk_snps=256)
+    gm = from_dense(g)
+    # the injected global pseudo-freq must equal the materialized panel's
+    np.testing.assert_allclose(sg.pseudo_freq, np.asarray(gm.pseudo_freq),
+                               atol=1e-6)
+    rng = np.random.default_rng(6)
+    rows = 700 if trans == "n" else 96
+    b = rng.standard_normal((rows, 4)).astype(np.float32)
+    got = sg.dgemm(b, trans=trans, center="colmeans")
+    want = np.asarray(dgemm(gm, b, trans=trans, center="colmeans"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_streamed_user_center_vector(panel):
+    """A per-SNP user centering vector restricts to each chunk's slice."""
+    g, sg, gm = panel
+    rng = np.random.default_rng(5)
+    u = rng.uniform(0.0, 2.0, size=700)
+    b = rng.standard_normal((700, 3)).astype(np.float32)
+    got = sg.dgemm(b, trans="n", center=u)
+    from miraculix_tpu.ops.dgemm import dgemm
+    want = np.asarray(dgemm(gm, b, trans="n", center=u))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
