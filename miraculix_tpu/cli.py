@@ -222,7 +222,8 @@ def main(argv=None) -> int:
     g.add_argument("bed")
     g.add_argument("--h2", type=float, default=0.5)
     g.add_argument("--pcs", type=int, default=10)
-    g.add_argument("--solver", choices=["cg", "dense"], default="cg")
+    g.add_argument("--solver", choices=["cg", "refined", "dense"],
+                   default="cg")
     g.add_argument("--stream-chunk", type=int, default=0,
                    help="SNP chunk size for the out-of-core StreamedGeno "
                         "path (0 = in-memory GenoMatrix)")

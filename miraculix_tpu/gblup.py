@@ -108,10 +108,16 @@ def gblup(
     ShardedGeno2D (solver='cg' only) — the whole pipeline (PCA, both CG
     solves, the BLUP matvec) then runs across the mesh with collective
     reductions, the reference's single-GPU pipeline generalized.
+
+    ``solver``: 'cg' (on-device f32 CG, the default), 'refined' (f64-grade
+    mixed-model solves via iterative refinement — pass a tight ``tol``
+    like 1e-10), or 'dense' (materialized GRM + Cholesky).
     """
     from .parallel import ShardedGeno, ShardedGeno2D
     from .streamed import StreamedGeno
 
+    if solver not in ("cg", "refined", "dense"):
+        raise ValueError(f"solver must be cg/refined/dense, got {solver!r}")
     sharded = isinstance(g, (ShardedGeno, ShardedGeno2D, StreamedGeno))
     if sharded and solver != "cg":
         raise ValueError("sharded/streamed GBLUP supports solver='cg' only")
@@ -160,10 +166,20 @@ def gblup(
             r = sharded_cg_solve_2d(g, rhs_arr, lam=lam * sigma2,
                                     tol=tol, maxiter=maxiter)
             return CGResult(r.x[:n], r.iterations, r.residual_norm)
+        if solver == "refined":
+            # f64-grade mixed-model equations: on-device f32 CG inside,
+            # true-f64 residual refinement outside (solve.cg)
+            from .solve.cg import CGResult, grm_cg_solve_refined
+
+            x_np, _, inner, rel = grm_cg_solve_refined(
+                g, np.asarray(rhs_arr, np.float64), lam=lam * sigma2,
+                scale=False, tol=tol, inner_maxiter=maxiter)
+            return CGResult(jnp.asarray(x_np, jnp.float32),
+                            jnp.int32(inner), jnp.asarray(rel))
         return grm_cg_solve(g, rhs_arr, lam=lam * sigma2, scale=False,
                             tol=tol, maxiter=maxiter)
 
-    if solver == "cg":
+    if solver in ("cg", "refined"):
         # scaled-G operator: (G/sigma2 + lam I) b = rhs, one block solve
         res = _cg(rhs)
         b = np.asarray(res.x, np.float64) * sigma2  # un-scale: see below
@@ -181,7 +197,7 @@ def gblup(
     xtby = x.T @ by
     beta = np.linalg.solve(xtbx, xtby)
 
-    if solver == "cg":
+    if solver in ("cg", "refined"):
         res_u = _cg(jnp.asarray((y - x @ beta)[:, None], jnp.float32))
         u = np.asarray(res_u.x, np.float64)[:, 0] * sigma2
         iters += int(res_u.iterations)

@@ -50,6 +50,18 @@ def test_gblup_cg_matches_dense(panel):
     assert np.abs(res_cg.g_hat - res_dn.g_hat).max() < 1e-2
 
 
+def test_gblup_refined_matches_dense(panel):
+    """solver='refined' (f64-grade iterative refinement) must agree with
+    the dense Cholesky solve at least as tightly as plain CG does."""
+    geno, gm = panel
+    y, bv = gblup.simulate_phenotypes(geno, h2=0.5, seed=2)
+    res_rf = gblup.gblup(gm, y, h2=0.5, n_pcs=2, solver="refined",
+                         tol=1e-9, maxiter=4000, seed=3)
+    res_dn = gblup.gblup(gm, y, h2=0.5, n_pcs=2, solver="dense", seed=3)
+    np.testing.assert_allclose(res_rf.beta, res_dn.beta, atol=1e-3)
+    assert np.abs(res_rf.g_hat - res_dn.g_hat).max() < 1e-2
+
+
 def test_gblup_predicts(panel):
     geno, gm = panel
     y, bv = gblup.simulate_phenotypes(geno, h2=0.8, n_qtl=50, seed=4)
