@@ -138,7 +138,10 @@ class StreamedGeno:
         ops.dgemm.dgemm for every centering mode; see module docstring)."""
         from .ops.dgemm import dgemm as _dgemm
 
-        b = np.asarray(b, np.float32)
+        # the exact f64 tier must not round through f32 on the way in or
+        # in the chunk accumulator
+        acc_dtype = np.float64 if precision == "f64" else np.float32
+        b = np.asarray(b, acc_dtype)
         if b.ndim == 1:
             b = b[:, None]
         trans = trans.lower()
@@ -152,7 +155,7 @@ class StreamedGeno:
         if trans == "t":
             if b.shape[0] != self.indiv:
                 raise ValueError("B rows must equal indiv for trans='t'")
-            out = np.empty((self.snps, b.shape[1]), np.float32)
+            out = np.empty((self.snps, b.shape[1]), acc_dtype)
             for gck, (s0, s1) in zip(self.chunks, self.bounds):
                 out[s0:s1] = np.asarray(
                     _dgemm(gck, b, trans="t", center=_ck_center(s0, s1),
@@ -160,7 +163,7 @@ class StreamedGeno:
             return out
         if b.shape[0] != self.snps:
             raise ValueError("B rows must equal snps for trans='n'")
-        acc = np.zeros((self.indiv, b.shape[1]), np.float32)
+        acc = np.zeros((self.indiv, b.shape[1]), acc_dtype)
         for gck, (s0, s1) in zip(self.chunks, self.bounds):
             acc += np.asarray(
                 _dgemm(gck, b[s0:s1], trans="n", center=_ck_center(s0, s1),

@@ -121,3 +121,40 @@ def test_streamed_user_center_vector(panel):
     from miraculix_tpu.ops.dgemm import dgemm
     want = np.asarray(dgemm(gm, b, trans="n", center=u))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+_STREAMED_F64_SCRIPT = """
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from miraculix_tpu.io import bed
+from miraculix_tpu.streamed import StreamedGeno
+import sys
+g = bed.simulate_genotypes(64, 900, seed=11)
+bed.write_bed(sys.argv[1], g)
+sg = StreamedGeno.from_bed(sys.argv[1], chunk_snps=256)
+b = np.random.default_rng(0).standard_normal((900, 2))
+got = sg.dgemm(b, trans="n", center=True, precision="f64")
+f = np.asarray(sg.freq, np.float64)
+want = (g.astype(np.float64) - 2.0 * f[None, :]) @ b
+rel = np.abs(got - want).max() / np.abs(want).max()
+assert got.dtype == np.float64 and rel < 1e-12, rel
+print("ok")
+"""
+
+
+def test_streamed_f64_tier_exact_under_x64(tmp_path):
+    """precision='f64' streams without rounding through f32: the chunk
+    accumulator and the RHS stay float64, so the exact integer-digit tier's
+    ~1e-15 grade survives chunked accumulation (x64 subprocess, as in
+    tests/test_dgemm.py)."""
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, "-c", _STREAMED_F64_SCRIPT,
+         str(tmp_path / "f64s.bed")],
+        capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "ok" in res.stdout
