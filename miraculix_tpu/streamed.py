@@ -15,6 +15,9 @@ products on device or host:
   (column partition of Zc splits the product exactly; per-chunk centering
   with the chunk's frequency slice IS the global centering restricted to
   the chunk).
+- ``cg_solve``: host-driven CG on the streamed operator (the reference's
+  GBLUP CG is likewise a host loop over dgemm_compressed calls,
+  examples/iterative_solver/grm_solve_cg.jl:109-134).
 
 All four centering modes stream exactly: per-SNP modes (rowmeans / none /
 user vector) restrict to chunk column slices, and 'colmeans' works because
@@ -23,9 +26,6 @@ user vector) restrict to chunk column slices, and 'colmeans' works because
 ratios cannot be merged when missing counts differ per individual); each
 chunk then subtracts pf·Σb over its own columns and the chunk sum
 telescopes to the materialized-panel result.
-- ``cg_solve``: host-driven CG on the streamed operator (the reference's
-  GBLUP CG is likewise a host loop over dgemm_compressed calls,
-  examples/iterative_solver/grm_solve_cg.jl:109-134).
 """
 from __future__ import annotations
 
