@@ -529,6 +529,21 @@ def packed_matmul_int8(
             "digit accumulator (limit ~11.2M SNPs); chunk the contraction")
     tile_r = pick_tile(rows, tile_r, 8)
     tile_kw = pick_tile(kw, tile_kw, 128)
+
+    # Mosaic scoped-VMEM budget (see packed_matmul): the int32 RHS block
+    # [16*tkw, n] is the big term; shrink tiles until the padded-N
+    # estimate (+60% staging margin) clears 12 MB
+    npad = -(-n // 128) * 128
+
+    def est(tr, tkw):
+        return 1.6 * (tr * tkw * 4 + 16 * tkw * npad * 4) + 2 * tr * npad * 4
+
+    while (est(tile_r, tile_kw) > 12 * 2**20
+           and tile_kw // 2 >= 128 and kw % (tile_kw // 2) == 0):
+        tile_kw //= 2
+    while (est(tile_r, tile_kw) > 12 * 2**20
+           and tile_r // 2 >= 256 and rows % (tile_r // 2) == 0):
+        tile_r //= 2
     nk = kw // tile_kw
     bpad = jnp.zeros((16 * kw, n), jnp.int32).at[:cols].set(b)
     bre = (bpad.reshape(16, nk, tile_kw, n)
