@@ -141,19 +141,33 @@ def gblup(
     x = np.concatenate(cols, axis=1)
     p = x.shape[1]
 
-    rhs = jnp.asarray(np.concatenate([x, y[:, None]], axis=1), jnp.float32)
+    rhs_np = np.concatenate([x, y[:, None]], axis=1)  # float64
     sigma2 = float(g.sigma2)
 
-    def _cg(rhs_arr):
-        """(Zc Zcᵀ + lam*sigma2 I) b' = rhs on whichever container."""
+    def _cg(rhs_np_arr):
+        """(Zc Zcᵀ + lam*sigma2 I) b' = rhs on whichever container.
+
+        Takes float64 numpy; the f64-grade 'refined' path keeps it (and
+        its solution) in float64 end to end — rounding through f32 on
+        either side would cap the result at ~1e-7 and waste the
+        refinement (CGResult.x may therefore be a float64 numpy array)."""
         if isinstance(g, StreamedGeno):
             from .solve.cg import CGResult
 
             x_np, iters, rel = g.cg_solve(
-                np.asarray(rhs_arr, np.float64), lam=lam * sigma2,
+                rhs_np_arr, lam=lam * sigma2,
                 scale=False, tol=tol, maxiter=maxiter, verbose=verbose)
-            return CGResult(jnp.asarray(x_np, jnp.float32),
-                            jnp.int32(iters), jnp.asarray(rel))
+            return CGResult(x_np, jnp.int32(iters), jnp.asarray(rel))
+        if solver == "refined":
+            # f64-grade mixed-model equations: on-device f32 CG inside,
+            # true-f64 residual refinement outside (solve.cg)
+            from .solve.cg import CGResult, grm_cg_solve_refined
+
+            x_np, _, inner, rel = grm_cg_solve_refined(
+                g, rhs_np_arr, lam=lam * sigma2,
+                scale=False, tol=tol, inner_maxiter=maxiter)
+            return CGResult(x_np, jnp.int32(inner), jnp.asarray(rel))
+        rhs_arr = jnp.asarray(rhs_np_arr, jnp.float32)
         if isinstance(g, ShardedGeno):
             from .parallel import sharded_cg_solve
 
@@ -166,22 +180,12 @@ def gblup(
             r = sharded_cg_solve_2d(g, rhs_arr, lam=lam * sigma2,
                                     tol=tol, maxiter=maxiter)
             return CGResult(r.x[:n], r.iterations, r.residual_norm)
-        if solver == "refined":
-            # f64-grade mixed-model equations: on-device f32 CG inside,
-            # true-f64 residual refinement outside (solve.cg)
-            from .solve.cg import CGResult, grm_cg_solve_refined
-
-            x_np, _, inner, rel = grm_cg_solve_refined(
-                g, np.asarray(rhs_arr, np.float64), lam=lam * sigma2,
-                scale=False, tol=tol, inner_maxiter=maxiter)
-            return CGResult(jnp.asarray(x_np, jnp.float32),
-                            jnp.int32(inner), jnp.asarray(rel))
         return grm_cg_solve(g, rhs_arr, lam=lam * sigma2, scale=False,
                             tol=tol, maxiter=maxiter)
 
     if solver in ("cg", "refined"):
         # scaled-G operator: (G/sigma2 + lam I) b = rhs, one block solve
-        res = _cg(rhs)
+        res = _cg(rhs_np)
         b = np.asarray(res.x, np.float64) * sigma2  # un-scale: see below
         iters = int(res.iterations)
         # the CG solved (Zc Zcᵀ + lam*sigma2 I) b' = rhs, i.e.
@@ -189,7 +193,8 @@ def gblup(
     else:
         gmat = grm(g, scale=True, dtype=jnp.float32)
         gmat = gmat + lam * jnp.eye(n, dtype=gmat.dtype)
-        b = np.asarray(dense_solve(gmat, rhs).x, np.float64)
+        b = np.asarray(dense_solve(
+            gmat, jnp.asarray(rhs_np, jnp.float32)).x, np.float64)
         iters = 0
 
     bx, by = b[:, :p], b[:, p]
@@ -198,12 +203,17 @@ def gblup(
     beta = np.linalg.solve(xtbx, xtby)
 
     if solver in ("cg", "refined"):
-        res_u = _cg(jnp.asarray((y - x @ beta)[:, None], jnp.float32))
+        res_u = _cg((y - x @ beta)[:, None])
         u = np.asarray(res_u.x, np.float64)[:, 0] * sigma2
         iters += int(res_u.iterations)
-        g_hat = np.asarray(
-            _grm_matvec_of(g)(jnp.asarray(u[:, None], jnp.float32)),
-            np.float64)[:, 0] / sigma2
+        if solver == "refined":
+            from .solve.cg import grm_matvec_f64
+
+            g_hat = grm_matvec_f64(g, u[:, None])[:, 0] / sigma2
+        else:
+            g_hat = np.asarray(
+                _grm_matvec_of(g)(jnp.asarray(u[:, None], jnp.float32)),
+                np.float64)[:, 0] / sigma2
     else:
         u = np.asarray(dense_solve(
             gmat, jnp.asarray((y - x @ beta)[:, None], jnp.float32)).x,

@@ -435,33 +435,47 @@ void mx_bed_ingest(const uint8_t* payload, int64_t snps, int64_t indiv,
 void mx_bed_colstats(const uint8_t* payload, int64_t snps, int64_t indiv,
                      int64_t* out_sum, int64_t* out_called) {
     const int64_t nbytes = (indiv + 3) / 4;
-#pragma omp parallel for schedule(static)
-    for (int64_t b = 0; b < nbytes; ++b) {
-        int64_t sum[4] = {0, 0, 0, 0}, called[4] = {0, 0, 0, 0};
-        const uint8_t* col = payload + b;
-        for (int64_t s = 0; s < snps; ++s, col += nbytes) {
-            uint8_t byte = *col;
-            uint32_t d = LUT.dec4[byte];
-            uint32_t mm = LUT.miss4[byte];
-            sum[0] += d & 3u;
-            sum[1] += (d >> 2) & 3u;
-            sum[2] += (d >> 4) & 3u;
-            sum[3] += (d >> 6) & 3u;
-            called[0] += 1 - (int64_t)(mm & 1u);
-            called[1] += 1 - (int64_t)((mm >> 1) & 1u);
-            called[2] += 1 - (int64_t)((mm >> 2) & 1u);
-            called[3] += 1 - (int64_t)((mm >> 3) & 1u);
-        }
-        for (int j = 0; j < 4; ++j) {
-            int64_t i = 4 * b + j;
-            if (i < indiv) {
-                out_sum[i] = sum[j];
-                out_called[i] = called[j];
+    const int64_t cap = 4 * nbytes;  // incl. the last byte's padding slots
+    std::memset(out_sum, 0, (size_t)indiv * 8);
+    std::memset(out_called, 0, (size_t)indiv * 8);
+    // SNP-outer sweep: the payload is SNP-major, so a byte-column-major
+    // walk would fetch each 64-byte cache line up to 64 times; reading
+    // row by row streams the payload ONCE, with per-thread accumulators
+    // merged at the end (the layout mx_bed_ingest's freq scan uses).
+#pragma omp parallel
+    {
+        int64_t* ls = new int64_t[cap]();
+        int64_t* lc = new int64_t[cap]();
+#pragma omp for schedule(static) nowait
+        for (int64_t s = 0; s < snps; ++s) {
+            const uint8_t* row = payload + s * nbytes;
+            for (int64_t b = 0; b < nbytes; ++b) {
+                uint8_t byte = row[b];
+                uint32_t d = LUT.dec4[byte];
+                uint32_t mm = LUT.miss4[byte];
+                int64_t i = 4 * b;
+                ls[i] += d & 3u;
+                ls[i + 1] += (d >> 2) & 3u;
+                ls[i + 2] += (d >> 4) & 3u;
+                ls[i + 3] += (d >> 6) & 3u;
+                lc[i] += 1 - (int64_t)(mm & 1u);
+                lc[i + 1] += 1 - (int64_t)((mm >> 1) & 1u);
+                lc[i + 2] += 1 - (int64_t)((mm >> 2) & 1u);
+                lc[i + 3] += 1 - (int64_t)((mm >> 3) & 1u);
             }
         }
+#pragma omp critical
+        {
+            for (int64_t i = 0; i < indiv; ++i) {
+                out_sum[i] += ls[i];
+                out_called[i] += lc[i];
+            }
+        }
+        delete[] ls;
+        delete[] lc;
     }
 }
 
-int mx_codec_version(void) { return 5; }
+int mx_codec_version(void) { return 6; }
 
 }  // extern "C"

@@ -526,7 +526,15 @@ def packed_matmul_int8(
     if 192 * 16 * kw >= 2 ** 31:
         raise ValueError(
             f"{16 * kw} genotype columns could overflow the exact int32 "
-            "digit accumulator (limit ~11.2M SNPs); chunk the contraction")
+            "digit accumulator (limit ~11.2M SNPs); chunk the contraction "
+            "(packed_matmul_exact does this automatically)")
+    if n > 512:
+        # the [16*tile_kw, n] int32 RHS block cannot shrink below 8 MB at
+        # the minimum tile_kw=128 — chunk the N axis like packed_matmul
+        return jnp.concatenate(
+            [packed_matmul_int8(zq, b[:, j: j + 512], tile_r=tile_r,
+                                tile_kw=tile_kw, interpret=interpret)
+             for j in range(0, n, 512)], axis=1)
     tile_r = pick_tile(rows, tile_r, 8)
     tile_kw = pick_tile(kw, tile_kw, 128)
 
@@ -581,6 +589,7 @@ def packed_matmul_exact(
     tile_kw: int = DEFAULT_TILE_KW,
     interpret: Optional[bool] = None,
     as_numpy: bool = True,
+    _kw_cap: int = 2 ** 19,
 ):
     """decode(zq) @ B to f64-GRADE accuracy via integer-digit splitting —
     the Ozaki-scheme idea mapped to the int8 MXU.
@@ -626,6 +635,29 @@ def packed_matmul_exact(
                 zq, b64[:, j: j + 512], digits=digits, tile_r=tile_r,
                 tile_kw=tile_kw, interpret=interpret, as_numpy=True))
              for j in range(0, n, 512)], axis=1)
+    if 192 * 16 * kw >= 2 ** 31 or kw > _kw_cap:
+        # contraction too long for one exact int32 accumulation (~11.2M
+        # genotype columns): chunk the packed-word axis and sum the exact
+        # f64 partials — still exact to one final f64 rounding, preserving
+        # the old f64 tier's unlimited-K contract.  _kw_cap (192*16*2^19 <
+        # 2^31; multiple of 128) is overridable only so tests can exercise
+        # this path at small sizes.
+        kw_cap = min(_kw_cap, 2 ** 19)
+        acc = np.zeros((rows, n), np.float64)
+        for c0 in range(0, kw, kw_cap):
+            c1 = min(c0 + kw_cap, kw)
+            # decoded column m*kw + c of the full packing becomes column
+            # m*(c1-c0) + (c-c0) of the chunk packing
+            idx = (np.arange(16)[:, None] * kw
+                   + np.arange(c0, c1)[None, :]).reshape(-1)
+            bc = np.zeros((idx.size, n), np.float64)
+            valid = idx < cols
+            bc[valid] = b64[idx[valid]]
+            acc += packed_matmul_exact(
+                zq[:, c0:c1], bc, digits=digits, tile_r=tile_r,
+                tile_kw=tile_kw, interpret=interpret, as_numpy=True,
+                _kw_cap=kw_cap)
+        return acc if as_numpy else jnp.asarray(acc)
     absmax = np.max(np.abs(b64), axis=0)
     # absmax = m * 2^e with m in [0.5, 1)  =>  |b / 2^(e)| < 1 ... use e
     # such that |x| < 1/2: frexp exponent IS that e (b < 2^e strictly)

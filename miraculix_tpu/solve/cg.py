@@ -199,15 +199,20 @@ def grm_cg_solve_refined(
     it = 0
     rel = np.linalg.norm(r, axis=0) / bnorm
     while it < outer and rel.max() > tol:
-        # inner tolerance is RELATIVE to the current residual scale: the
-        # device CG only needs to knock the correction down by the factor
-        # the refinement step will then square away
-        rnorm = np.linalg.norm(r, axis=0).max()
+        # solve the NORMALIZED correction system A dx = r / rnorm with a
+        # CONSTANT inner tolerance, then scale dx back: the inner solver's
+        # `tol` is a jit-static argument, so a residual-dependent value
+        # would retrace + recompile the whole Pallas CG every outer pass
+        # (multi-second remote compiles on the axon tunnel); normalization
+        # keeps one compiled executable across passes AND iterations
+        rnorm = float(np.linalg.norm(r, axis=0).max())
+        if rnorm == 0.0:
+            break
         res = grm_cg_solve(
-            g, jnp.asarray(r, jnp.float32), lam=lam, center=center,
-            scale=scale, tol=float(max(rnorm * inner_tol_factor, 1e-30)),
+            g, jnp.asarray(r / rnorm, jnp.float32), lam=lam, center=center,
+            scale=scale, tol=float(inner_tol_factor),
             maxiter=inner_maxiter, precision=precision)
-        x = x + np.asarray(res.x, np.float64)
+        x = x + rnorm * np.asarray(res.x, np.float64)
         inner_total += int(res.iterations)
         r = residual(x)
         rel = np.linalg.norm(r, axis=0) / bnorm

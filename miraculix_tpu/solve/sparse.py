@@ -48,8 +48,8 @@ def _invert_tri_batched(t: np.ndarray, lower: bool,
     precision — measured 6e-16 residual) and log2(bs/base) doubling levels
     build the full inverse.  Replaces a per-block LAPACK ``dtrtri`` loop
     whose f2py + copy overhead dominated at nb ~ 4000 (measured 15.9 s ->
-    ~7 s f64 / ~3 s f32 for n = 1e6, bs = 256).  ``bs`` must be a power
-    of two (the caller's default 256 is; pads otherwise)."""
+    ~7 s for n = 1e6, bs = 256, f64).  ``bs`` must be a power of two (the
+    caller's default 256 is; pads otherwise)."""
     nb, bs, _ = t.shape
     p2 = 1 << (bs - 1).bit_length()
     if p2 != bs:  # pad to the next power of two with identity tails
@@ -98,18 +98,19 @@ def _analyze(rows, cols, vals, n, bs, lower, np_dtype):
     # --- dense diagonal blocks, inverted once in f64 ---------------------
     diag_mask = rb == cb
     dr, dc, dv = rows[diag_mask], cols[diag_mask], vals[diag_mask]
-    # assemble straight into the SOLVE precision (duplicate COO entries
-    # coalesce by summation — the same semantics the scatter-add gives the
-    # off-diagonal groups); the f32 path then skips a 2 GB f64
-    # intermediate + cast, and its inversion gains 2x BLAS rate — a ~1e-7
-    # inverse is the grade its sweeps run at anyway (the f64/CPU-x64 path
-    # keeps f64 end-to-end)
-    dblocks = np.zeros((nb, bs, bs), np_dtype)
-    np.add.at(dblocks, (dr // bs, dr % bs, dc % bs), dv.astype(np_dtype))
+    # assemble + invert in FLOAT64 regardless of the solve precision, cast
+    # once at the end: inverting in f32 would make the stored inverse's
+    # error scale with each block's condition number (ill-conditioned
+    # relationship-factor blocks are common) instead of the plain f32
+    # rounding of an accurately-computed inverse.  Duplicate COO entries
+    # coalesce by summation — the same semantics the scatter-add gives
+    # the off-diagonal groups.
+    dblocks = np.zeros((nb, bs, bs), np.float64)
+    np.add.at(dblocks, (dr // bs, dr % bs, dc % bs), dv)
     pad_idx = np.arange(n, npad)
     dblocks[pad_idx // bs, pad_idx % bs, pad_idx % bs] = 1.0  # padded rows
     if (np.abs(np.diagonal(dblocks, axis1=1, axis2=2))
-            < np.finfo(np_dtype).tiny).any():
+            < np.finfo(np.float64).tiny).any():
         raise np.linalg.LinAlgError("singular diagonal block")
     dinv = np.ascontiguousarray(_invert_tri_batched(dblocks, lower),
                                 dtype=np_dtype)

@@ -145,12 +145,9 @@ class StreamedGeno:
         if b.ndim == 1:
             b = b[:, None]
         trans = trans.lower()
+
         def _ck_center(s0, s1):
-            # a per-SNP user centering vector restricts to the chunk slice
-            if isinstance(center, np.ndarray) and center.ndim == 1 \
-                    and center.shape[0] == self.snps:
-                return center[s0:s1]
-            return center
+            return _slice_center(center, self.snps, s0, s1)
 
         if trans == "t":
             if b.shape[0] != self.indiv:
@@ -182,10 +179,7 @@ class StreamedGeno:
             x = x[:, None]
         acc = np.zeros((self.indiv, x.shape[1]), np.float32)
         for gck, (s0, s1) in zip(self.chunks, self.bounds):
-            ck_center = center
-            if isinstance(center, np.ndarray) and center.ndim == 1 \
-                    and center.shape[0] == self.snps:
-                ck_center = center[s0:s1]  # per-SNP user centering vector
+            ck_center = _slice_center(center, self.snps, s0, s1)
             u = _dgemm(gck, x, trans="t", center=ck_center)
             acc += np.asarray(_dgemm(gck, u, trans="n", center=ck_center))
         return acc[:, 0] if squeeze else acc
@@ -232,6 +226,16 @@ class StreamedGeno:
                 print(f"  cg iter {it}: rel resid "
                       f"{float((np.sqrt(rs) / bnorm).max()):.3e}", flush=True)
         return (x[:, 0] if squeeze else x), it, np.sqrt(rs) / bnorm
+
+
+def _slice_center(center, snps: int, s0: int, s1: int):
+    """Restrict a per-SNP user centering vector to one chunk's SNP slice;
+    every other centering spec (bool / mode string / per-indiv colmeans)
+    passes through unchanged."""
+    if isinstance(center, np.ndarray) and center.ndim == 1 \
+            and center.shape[0] == snps:
+        return center[s0:s1]
+    return center
 
 
 def _ingest_slice(path: str, s0: int, s1: int, n_indiv: int):

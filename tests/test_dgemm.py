@@ -243,3 +243,19 @@ def test_packed_matmul_exact_digit_path(rng):
     assert got.dtype == np.float64
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 1e-13, rel
+
+
+def test_packed_matmul_exact_kw_chunked(rng):
+    """The unlimited-K contract: contractions beyond the int32 digit
+    accumulator's ~11.2M-column limit split the packed-word axis and sum
+    exact f64 partials.  Forced here via the test-only _kw_cap knob."""
+    from miraculix_tpu.io import codec
+    from miraculix_tpu.ops.dgemm import packed_matmul_exact
+
+    g = _panel(rng, 64, 8192)  # kw = 512 -> 4 chunks at cap 128
+    zq = codec.pack_planar16(g)
+    b = rng.standard_normal((8192, 3))
+    got = packed_matmul_exact(zq, b, _kw_cap=128)
+    want = np.where(g == 3, 3, g).astype(np.float64) @ b
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-13, rel

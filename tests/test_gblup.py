@@ -50,16 +50,32 @@ def test_gblup_cg_matches_dense(panel):
     assert np.abs(res_cg.g_hat - res_dn.g_hat).max() < 1e-2
 
 
-def test_gblup_refined_matches_dense(panel):
-    """solver='refined' (f64-grade iterative refinement) must agree with
-    the dense Cholesky solve at least as tightly as plain CG does."""
+def test_gblup_refined_is_f64_grade(panel):
+    """solver='refined' must deliver f64-CLASS results end to end — a
+    numpy float64 replication of the whole pipeline (same PCs) agrees to
+    ~1e-8, far past what any f32 round-trip of the solutions would allow
+    (~1e-7); guards the refined path against silent f32 casts."""
     geno, gm = panel
     y, bv = gblup.simulate_phenotypes(geno, h2=0.5, seed=2)
-    res_rf = gblup.gblup(gm, y, h2=0.5, n_pcs=2, solver="refined",
-                         tol=1e-9, maxiter=4000, seed=3)
-    res_dn = gblup.gblup(gm, y, h2=0.5, n_pcs=2, solver="dense", seed=3)
-    np.testing.assert_allclose(res_rf.beta, res_dn.beta, atol=1e-3)
-    assert np.abs(res_rf.g_hat - res_dn.g_hat).max() < 1e-2
+    h2 = 0.5
+    res_rf = gblup.gblup(gm, y, h2=h2, n_pcs=2, solver="refined",
+                         tol=1e-11, maxiter=4000, seed=3)
+    # float64 oracle of the same algebra, reusing the run's own PCs
+    f = np.asarray(gm.freq, np.float64)
+    zc = geno.astype(np.float64) - 2.0 * f[None, :]
+    sigma2 = float(gm.sigma2)
+    lam = (1.0 - h2) / h2
+    n = geno.shape[0]
+    x = np.concatenate([np.ones((n, 1)), res_rf.pcs], axis=1)
+    a = zc @ zc.T + lam * sigma2 * np.eye(n)
+    b = np.linalg.solve(a, np.concatenate([x, y[:, None]], axis=1)) * sigma2
+    bx, by = b[:, :-1], b[:, -1]
+    beta = np.linalg.solve(x.T @ bx, x.T @ by)
+    u = np.linalg.solve(a, (y - x @ beta)[:, None])[:, 0] * sigma2
+    g_hat = (zc @ (zc.T @ u)) / sigma2
+    np.testing.assert_allclose(res_rf.beta, beta, rtol=1e-8, atol=1e-10)
+    scale = np.abs(g_hat).max()
+    assert np.abs(res_rf.g_hat - g_hat).max() / scale < 1e-8
 
 
 def test_gblup_predicts(panel):
