@@ -1,7 +1,7 @@
 """Equation-system solvers: on-device CG (GBLUP), dense Cholesky/logdet,
 relationship-matrix solve, sparse triangular solves."""
 from .cg import (CGResult, cg, grm_cg_solve, grm_cg_solve_refined,
-                 grm_matvec, grm_matvec_f64)
+                 grm_diag, grm_matvec, grm_matvec_f64)
 from .dense import (DenseSolveResult, RelMatResult, chol2inv, dense_solve,
                     solve_posdef, solve_relmat, sqrt_posdef, sqrt_rhs,
                     x_cinv_y_logdet)
@@ -16,6 +16,7 @@ __all__ = [
     "chol2inv",
     "dense_solve",
     "grm_cg_solve",
+    "grm_diag",
     "grm_cg_solve_refined",
     "grm_matvec_f64",
     "grm_matvec",

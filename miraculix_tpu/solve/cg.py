@@ -33,6 +33,7 @@ def cg(
     x0: Optional[jax.Array] = None,
     tol: float = 1e-2,
     maxiter: int = 1000,
+    minv: Optional[jax.Array] = None,
 ) -> CGResult:
     """Block conjugate gradient for SPD operators; each RHS column iterates
     with its own alpha/beta (mathematically identical to k independent CG
@@ -40,38 +41,86 @@ def cg(
 
     ``b`` may be [n] or [n, k]. Stops when every column's residual norm is
     below ``tol`` or after ``maxiter`` iterations.
+
+    ``minv`` [n] enables Jacobi-preconditioned CG: z = minv * r replaces r
+    in the direction updates (one elementwise multiply per iteration;
+    convergence is still judged on the TRUE residual norm).  Pass e.g.
+    ``1 / (grm_diag(g) + lam)`` — heterogeneous-diagonal systems converge
+    in substantially fewer matvecs; the reference has no preconditioner.
     """
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
     x = jnp.zeros_like(b) if x0 is None else (x0[:, None] if squeeze else x0)
 
+    def precond(r):
+        return r if minv is None else minv[:, None] * r
+
     r = b - matvec(x)
-    p = r
-    rs = jnp.sum(r * r, axis=0)  # [k]
+    z = precond(r)
+    p = z
+    rs = jnp.sum(r * r, axis=0)   # true residual (stopping test)
+    rz = jnp.sum(r * z, axis=0)   # preconditioned inner product
 
     def cond(state):
-        _, _, _, rs, it = state
+        _, _, _, rs, _, it = state
         return jnp.logical_and(it < maxiter,
                                jnp.any(jnp.sqrt(rs) > tol))
 
     def body(state):
-        x, r, p, rs, it = state
+        x, r, p, rs, rz, it = state
         ap = matvec(p)
         denom = jnp.sum(p * ap, axis=0)
-        alpha = jnp.where(denom > 0, rs / denom, 0.0)
+        alpha = jnp.where(denom > 0, rz / denom, 0.0)
         x = x + alpha[None, :] * p
         r = r - alpha[None, :] * ap
+        z = precond(r)
         rs_new = jnp.sum(r * r, axis=0)
-        beta = jnp.where(rs > 0, rs_new / rs, 0.0)
-        p = r + beta[None, :] * p
-        return x, r, p, rs_new, it + 1
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = jnp.where(rz > 0, rz_new / rz, 0.0)
+        p = z + beta[None, :] * p
+        return x, r, p, rs_new, rz_new, it + 1
 
-    x, r, p, rs, it = jax.lax.while_loop(
-        cond, body, (x, r, p, rs, jnp.int32(0))
+    x, r, p, rs, rz, it = jax.lax.while_loop(
+        cond, body, (x, r, p, rs, rz, jnp.int32(0))
     )
     x_out = x[:, 0] if squeeze else x
     return CGResult(x_out, it, jnp.sqrt(rs))
+
+
+@functools.partial(jax.jit, static_argnames=("center", "scale"))
+def grm_diag(g: GenoMatrix, center: bool = True,
+             scale: bool = False) -> jax.Array:
+    """diag(Z_c Z_cᵀ) EXACTLY, without materializing G — one bandwidth
+    pass over the packed rows plus one skinny dgemm:
+
+        diag[i] = Σ_s (z_is - 2 f_s)²
+                = Σ_s z²  - 4 Σ_s f_s z_is + 4 Σ_s f_s²
+
+    with Σ z² = Σ z + 2·#{z = 2} (z ∈ {0,1,2} — both terms integer-exact
+    from the planar16 words) and Σ f z the freqSxI cache pass.  Feeds the
+    Jacobi preconditioner of :func:`cg` / :func:`grm_cg_solve`; missing
+    genotypes are packed as 0 and contribute their centered term exactly
+    like the matvec's, so M matches the operator."""
+    from ..ops.common import _SHIFTS
+
+    zq = g.zq_n
+    s1 = jnp.zeros((zq.shape[0],), jnp.int32)
+    c2 = jnp.zeros((zq.shape[0],), jnp.int32)
+    for m in range(16):
+        plane = (zq >> _SHIFTS[m]) & jnp.uint32(3)
+        s1 = s1 + jnp.sum(plane, axis=1).astype(jnp.int32)
+        c2 = c2 + jnp.sum((plane == 2).astype(jnp.int32), axis=1)
+    zsq = (s1 + 2 * c2).astype(jnp.float32)[: g.indiv]  # Σ z², exact
+    if center:
+        f = g.freq.astype(jnp.float32)
+        fz = dgemm(g, f[:, None], trans="n", center=False)[:, 0]
+        d = zsq - 4.0 * fz + 4.0 * jnp.sum(f * f)
+    else:
+        d = zsq
+    if scale:
+        d = d / g.sigma2.astype(d.dtype)
+    return d
 
 
 def grm_matvec(
@@ -93,7 +142,8 @@ def grm_matvec(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("center", "scale", "tol", "maxiter", "lam", "precision"),
+    static_argnames=("center", "scale", "tol", "maxiter", "lam", "precision",
+                     "precondition"),
 )
 def grm_cg_solve(
     g: GenoMatrix,
@@ -104,11 +154,18 @@ def grm_cg_solve(
     tol: float = 1e-2,
     maxiter: int = 1000,
     precision: str = "fast",
+    precondition: bool = False,
 ) -> CGResult:
     """Solve (G + lam·I) x = b on-device, G = Z_c Z_cᵀ (optionally /sigma^2).
 
     The GBLUP work-horse: with lam = sigma_e^2/sigma_u^2 this is the mixed-
     model equation solve of examples/gblup/calculate_gblup.jl:163-185.
+
+    ``precondition=True`` runs Jacobi-preconditioned CG with the exact GRM
+    diagonal (:func:`grm_diag`) — one extra bandwidth pass at setup and one
+    elementwise multiply per iteration; heterogeneous-relatedness panels
+    converge in substantially fewer matvecs (the reference's CG has no
+    preconditioner, grm_solve_cg.jl:109-134).
     """
     def op(v):
         gv = grm_matvec(g, v, center=center, scale=scale, precision=precision)
@@ -116,7 +173,11 @@ def grm_cg_solve(
             gv = gv + lam * v
         return gv
 
-    return cg(op, b, tol=tol, maxiter=maxiter)
+    minv = None
+    if precondition:
+        d = grm_diag(g, center=center, scale=scale) + lam
+        minv = jnp.where(d > 0, 1.0 / d, 1.0)
+    return cg(op, b, tol=tol, maxiter=maxiter, minv=minv)
 
 
 def grm_matvec_f64(g: GenoMatrix, v, center: bool = True,
