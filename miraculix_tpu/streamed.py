@@ -191,11 +191,24 @@ class StreamedGeno:
         f = self.freq.astype(np.float64)
         return float(2.0 * np.sum(f * (1.0 - f)))
 
+    def grm_diag(self, center: bool = True) -> np.ndarray:
+        """diag(Zc Zcᵀ) over the streamed panel — the per-chunk diagonals
+        (solve.grm_diag, exact) are additive over SNP chunk slices."""
+        from .solve.cg import grm_diag as _gd
+
+        d = np.zeros(self.indiv, np.float64)
+        for gck in self.chunks:
+            d += np.asarray(_gd(gck, center=center), np.float64)
+        return d
+
     def cg_solve(self, y: np.ndarray, lam: float = 0.0, center=True,
                  scale: bool = True, tol: float = 1e-4,
-                 maxiter: int = 200, verbose: bool = False):
+                 maxiter: int = 200, verbose: bool = False,
+                 precondition: bool = False):
         """Host-driven CG on (G + lam I) x = y with G = Zc Zcᵀ (/ sigma² if
-        ``scale``) — the streamed counterpart of solve.grm_cg_solve."""
+        ``scale``) — the streamed counterpart of solve.grm_cg_solve.
+        ``precondition`` enables Jacobi PCG from the streamed exact
+        diagonal (one extra pass over the chunks at setup)."""
         y = np.asarray(y, np.float64)
         squeeze = y.ndim == 1
         if squeeze:
@@ -207,20 +220,32 @@ class StreamedGeno:
                                    center=center).astype(np.float64) / s2 \
                 + lam * v
 
+        minv = None
+        if precondition:
+            d = self.grm_diag(center=bool(center)) / s2 + lam
+            minv = np.where(d > 0, 1.0 / d, 1.0)[:, None]
+
+        def precond(r):
+            return r if minv is None else minv * r
+
         x = np.zeros_like(y)
         r = y - op(x)
-        p = r.copy()
+        z = precond(r)
+        p = z.copy()
         rs = (r * r).sum(axis=0)
+        rz = (r * z).sum(axis=0)
         it = 0
         bnorm = np.maximum(np.sqrt((y * y).sum(axis=0)), 1e-30)
         while it < maxiter and (np.sqrt(rs) / bnorm > tol).any():
             ap = op(p)
-            alpha = rs / np.maximum((p * ap).sum(axis=0), 1e-300)
+            alpha = rz / np.maximum((p * ap).sum(axis=0), 1e-300)
             x += alpha * p
             r -= alpha * ap
-            rs_new = (r * r).sum(axis=0)
-            p = r + (rs_new / np.maximum(rs, 1e-300)) * p
-            rs = rs_new
+            z = precond(r)
+            rs = (r * r).sum(axis=0)
+            rz_new = (r * z).sum(axis=0)
+            p = z + (rz_new / np.maximum(rz, 1e-300)) * p
+            rz = rz_new
             it += 1
             if verbose:
                 print(f"  cg iter {it}: rel resid "

@@ -158,3 +158,19 @@ def test_streamed_f64_tier_exact_under_x64(tmp_path):
         capture_output=True, text=True, timeout=300)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "ok" in res.stdout
+
+
+def test_streamed_grm_diag_and_pcg(panel):
+    """Streamed exact diagonal (chunk-additive) matches the dense oracle;
+    preconditioned streamed CG reaches the same solution."""
+    g, sg, gm = panel
+    f = np.asarray(gm.freq, np.float64)
+    zc = g.astype(np.float64) - 2.0 * f[None, :]
+    np.testing.assert_allclose(sg.grm_diag(), np.sum(zc * zc, axis=1),
+                               rtol=1e-5)
+    rng = np.random.default_rng(8)
+    y = rng.standard_normal(96)
+    x_p, it_p, rel_p = sg.cg_solve(y, lam=1.0, tol=1e-6, maxiter=300,
+                                   precondition=True)
+    a = zc @ zc.T / sg.sigma2 + np.eye(96)
+    assert np.linalg.norm(a @ x_p - y) / np.linalg.norm(y) < 1e-4
