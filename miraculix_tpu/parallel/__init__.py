@@ -5,7 +5,8 @@ axis fits one chip."""
 from .sharded import (ShardedGeno, init_distributed, load_sharded,
                       make_mesh, save_sharded, shard_genotypes,
                       shard_genotypes_from_bed, sharded_cg_solve,
-                      sharded_dgemm, sharded_grm, sharded_grm_matvec)
+                      sharded_dgemm, sharded_grm, sharded_grm_diag,
+                      sharded_grm_matvec)
 from .sharded2d import (ShardedGeno2D, make_mesh_2d, pad_indiv_vec,
                         pad_snp_vec, shard_genotypes_2d,
                         shard_genotypes_2d_from_bed, sharded_cg_solve_2d,
@@ -30,6 +31,7 @@ __all__ = [
     "sharded_dgemm",
     "sharded_dgemm_2d",
     "sharded_grm",
+    "sharded_grm_diag",
     "sharded_grm_2d",
     "sharded_grm_matvec",
 ]

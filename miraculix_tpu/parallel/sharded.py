@@ -367,6 +367,48 @@ def sharded_grm_matvec(
     return out[: sg.indiv]
 
 
+def sharded_grm_diag(
+    sg: ShardedGeno,
+    center: bool = True,
+    mesh: Optional[Mesh] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """diag(Z_c Z_cᵀ) across the mesh, exactly (solve.grm_diag distributed):
+    Σ z² and Σ f z are additive over each device's SNP shard, merged with
+    one psum.  Feeds the sharded Jacobi PCG."""
+    from ..ops.common import _SHIFTS
+
+    mesh = mesh or _mesh_of(sg)
+    if interpret is None:
+        interpret = on_cpu()
+    ax = sg.axis
+    f_pad = _pad_rows(sg.freq[:, None], sg.zq_t.shape[0])
+
+    def body(zq_n_local, zq_t_local, f_pad_local, f_local):
+        s1 = jnp.zeros((zq_n_local.shape[0],), jnp.int32)
+        c2 = jnp.zeros((zq_n_local.shape[0],), jnp.int32)
+        for m in range(16):
+            plane = (zq_n_local >> _SHIFTS[m]) & jnp.uint32(3)
+            s1 = s1 + jnp.sum(plane, axis=1).astype(jnp.int32)
+            c2 = c2 + jnp.sum((plane == 2).astype(jnp.int32), axis=1)
+        d = (s1 + 2 * c2).astype(jnp.float32)
+        if center:
+            # tall-schedule output is padded to 16*kw_indiv rows — slice
+            # back to the zq_n row padding before combining
+            fz = _local_mm(zq_n_local, zq_t_local, f_pad_local,
+                           interpret)[: zq_n_local.shape[0], 0]
+            fl = f_local.astype(jnp.float32)
+            d = d - 4.0 * fz + 4.0 * jnp.sum(fl * fl)
+        return jax.lax.psum(d, ax)
+
+    out = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, ax), P(ax, None), P(ax, None), P(ax)),
+        out_specs=P(None), check_vma=False,
+    )(sg.zq_n, sg.zq_t, f_pad, sg.freq)
+    return out[: sg.indiv]
+
+
 def sharded_cg_solve(
     sg: ShardedGeno,
     b: jax.Array,
@@ -375,16 +417,22 @@ def sharded_cg_solve(
     tol: float = 1e-2,
     maxiter: int = 1000,
     mesh: Optional[Mesh] = None,
+    precondition: bool = False,
 ) -> CGResult:
     """(G + lam I) x = b across the mesh — the fully on-device distributed
-    GBLUP solve (BASELINE.json north star).  One psum per iteration."""
+    GBLUP solve (BASELINE.json north star).  One psum per iteration
+    (``precondition=True`` adds a one-time sharded exact-diagonal pass and
+    an elementwise multiply per iteration; see solve.cg)."""
     mesh = mesh or _mesh_of(sg)  # resolve outside jit (tracers lack .sharding)
-    return _cg_jit(sg, b, lam, center, tol, maxiter, mesh, on_cpu())
+    return _cg_jit(sg, b, lam, center, tol, maxiter, mesh, on_cpu(),
+                   precondition)
 
 
 @functools.partial(jax.jit, static_argnames=("lam", "center", "tol",
-                                             "maxiter", "mesh", "interpret"))
-def _cg_jit(sg, b, lam, center, tol, maxiter, mesh, interpret) -> CGResult:
+                                             "maxiter", "mesh", "interpret",
+                                             "precondition"))
+def _cg_jit(sg, b, lam, center, tol, maxiter, mesh, interpret,
+            precondition=False) -> CGResult:
     from ..solve.cg import cg
 
     def op(v):
@@ -394,7 +442,12 @@ def _cg_jit(sg, b, lam, center, tol, maxiter, mesh, interpret) -> CGResult:
             gv = gv + lam * v
         return gv
 
-    return cg(op, b, tol=tol, maxiter=maxiter)
+    minv = None
+    if precondition:
+        d = sharded_grm_diag(sg, center=center, mesh=mesh,
+                             interpret=interpret) + lam
+        minv = jnp.where(d > 0, 1.0 / d, 1.0)
+    return cg(op, b, tol=tol, maxiter=maxiter, minv=minv)
 
 
 def _mesh_of(sg: ShardedGeno) -> Mesh:

@@ -117,3 +117,29 @@ def test_save_load_sharded(tmp_path, rng):
     np.testing.assert_allclose(c1, c2, atol=1e-4)
     with pytest.raises(ValueError):
         load_sharded(p, parallel.make_mesh(4))  # device count must match
+
+
+def test_sharded_grm_diag_and_pcg(mesh8, panel):
+    """Sharded exact diagonal == single-chip grm_diag; preconditioned
+    sharded CG solves to the same answer."""
+    import jax.numpy as jnp
+
+    from miraculix_tpu.parallel import (shard_genotypes, sharded_cg_solve,
+                                        sharded_grm_diag)
+
+    g = panel
+    gm = mx.from_dense(g)
+    sg = shard_genotypes(g, mesh8)
+    got = np.asarray(sharded_grm_diag(sg))
+    want = np.asarray(solve.grm_diag(gm))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    rng = np.random.default_rng(9)
+    b = jnp.asarray(rng.standard_normal(g.shape[0]), jnp.float32)
+    res = sharded_cg_solve(sg, b, lam=40.0, tol=1e-5, maxiter=2000,
+                           precondition=True)
+    f = np.asarray(gm.freq, np.float64)
+    zc = g.astype(np.float64) - 2.0 * f[None, :]
+    want_x = np.linalg.solve(zc @ zc.T + 40.0 * np.eye(g.shape[0]),
+                             np.asarray(b))
+    assert np.abs(np.asarray(res.x) - want_x).max() / np.abs(want_x).max() \
+        < 1e-4
