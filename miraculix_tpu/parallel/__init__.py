@@ -10,6 +10,7 @@ from .sharded import (ShardedGeno, init_distributed, load_sharded,
 from .sharded2d import (ShardedGeno2D, make_mesh_2d, pad_indiv_vec,
                         pad_snp_vec, shard_genotypes_2d,
                         shard_genotypes_2d_from_bed, sharded_cg_solve_2d,
+                        sharded_grm_diag_2d,
                         sharded_dgemm_2d, sharded_grm_2d)
 
 __all__ = [
@@ -32,6 +33,7 @@ __all__ = [
     "sharded_dgemm_2d",
     "sharded_grm",
     "sharded_grm_diag",
+    "sharded_grm_diag_2d",
     "sharded_grm_2d",
     "sharded_grm_matvec",
 ]

@@ -264,6 +264,44 @@ def pad_snp_vec(sg: ShardedGeno2D, v: jax.Array,
     return jax.device_put(out, NamedSharding(mesh, P(sg.axes[1], None)))
 
 
+def sharded_grm_diag_2d(
+    sg: ShardedGeno2D,
+    center: bool = True,
+    mesh: Optional[Mesh] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """diag(Z_c Z_cᵀ) over the 2D mesh, exactly — row-sharded P("i") like
+    every other CG vector.  Σ z² comes from per-block packed-word stats
+    (psum over "k"); Σ f z is one 'n' dgemm with the sharded frequency
+    column; Σ f² is a replicated scalar."""
+    mesh = mesh or _mesh_of(sg)
+    if interpret is None:
+        interpret = on_cpu()
+    ai, ak = sg.axes
+
+    def body(zq_local):
+        from ..ops.common import _SHIFTS
+
+        s1 = jnp.zeros((zq_local.shape[0],), jnp.int32)
+        c2 = jnp.zeros((zq_local.shape[0],), jnp.int32)
+        for m in range(16):
+            plane = (zq_local >> _SHIFTS[m]) & jnp.uint32(3)
+            s1 = s1 + jnp.sum(plane, axis=1).astype(jnp.int32)
+            c2 = c2 + jnp.sum((plane == 2).astype(jnp.int32), axis=1)
+        return jax.lax.psum((s1 + 2 * c2).astype(jnp.float32), ak)
+
+    zsq = jax.shard_map(
+        body, mesh=mesh, in_specs=(P(ai, ak),), out_specs=P(ai),
+        check_vma=False,
+    )(sg.zq_n)
+    if not center:
+        return zsq
+    fz = sharded_dgemm_2d(sg, sg.freq[:, None], trans="n", center=False,
+                          mesh=mesh, interpret=interpret)[:, 0]
+    f = sg.freq.astype(jnp.float32)
+    return zsq - 4.0 * fz + 4.0 * jnp.sum(f * f)
+
+
 def sharded_cg_solve_2d(
     sg: ShardedGeno2D,
     b: jax.Array,
@@ -272,6 +310,7 @@ def sharded_cg_solve_2d(
     tol: float = 1e-2,
     maxiter: int = 1000,
     mesh: Optional[Mesh] = None,
+    precondition: bool = False,
 ) -> CGResult:
     """(G + lam I) x = b over the 2D mesh, G = Z_c Z_cᵀ.  Every CG vector is
     row-sharded P("i"); each iteration runs one 't' pass (psum over "i") and
@@ -283,14 +322,17 @@ def sharded_cg_solve_2d(
     mesh = mesh or _mesh_of(sg)
     squeeze = b.ndim == 1
     bp = pad_indiv_vec(sg, b if not squeeze else b[:, None], mesh)
-    res = _cg2d_jit(sg, bp, lam, center, tol, maxiter, mesh, on_cpu())
+    res = _cg2d_jit(sg, bp, lam, center, tol, maxiter, mesh, on_cpu(),
+                    precondition)
     x = res.x[:, 0] if squeeze else res.x
     return CGResult(x, res.iterations, res.residual_norm)
 
 
 @functools.partial(jax.jit, static_argnames=("lam", "center", "tol",
-                                             "maxiter", "mesh", "interpret"))
-def _cg2d_jit(sg, bp, lam, center, tol, maxiter, mesh, interpret) -> CGResult:
+                                             "maxiter", "mesh", "interpret",
+                                             "precondition"))
+def _cg2d_jit(sg, bp, lam, center, tol, maxiter, mesh, interpret,
+              precondition=False) -> CGResult:
     def op(v):
         zv = sharded_dgemm_2d(sg, v, trans="t", center=center, mesh=mesh,
                               interpret=interpret)
@@ -307,7 +349,12 @@ def _cg2d_jit(sg, bp, lam, center, tol, maxiter, mesh, interpret) -> CGResult:
             gv = gv + lam * v * rowmask[:, None]
         return gv
 
-    return cg(op, bp, tol=tol, maxiter=maxiter)
+    minv = None
+    if precondition:
+        d = sharded_grm_diag_2d(sg, center=center, mesh=mesh,
+                                interpret=interpret) + lam
+        minv = jnp.where(d > 0, 1.0 / d, 1.0)
+    return cg(op, bp, tol=tol, maxiter=maxiter, minv=minv)
 
 
 def shard_genotypes_2d_from_bed(

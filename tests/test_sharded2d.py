@@ -118,3 +118,33 @@ def test_sharded_fuzz_vs_single_chip(mesh, rng):
             sg2, parallel.pad_snp_vec(sg2, jnp.asarray(b)),
             trans="n"))[:indiv]
         assert np.abs(c2 - want).max() / scale < 1e-4, ("2d", indiv, snps, n)
+
+
+def test_sharded2d_grm_diag_and_pcg(mesh, panel):
+    """2D exact diagonal == single-chip grm_diag on the real rows;
+    preconditioned 2D CG reaches the same solution."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import miraculix_tpu as mx
+    from miraculix_tpu import solve
+    from miraculix_tpu.parallel import (shard_genotypes_2d,
+                                        sharded_cg_solve_2d,
+                                        sharded_grm_diag_2d)
+
+    g = panel
+    sg = shard_genotypes_2d(g, mesh)
+    gm = mx.from_dense(g)
+    got = np.asarray(sharded_grm_diag_2d(sg))[: g.shape[0]]
+    want = np.asarray(solve.grm_diag(gm))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    rng = np.random.default_rng(11)
+    b = jnp.asarray(rng.standard_normal(g.shape[0]), jnp.float32)
+    res = sharded_cg_solve_2d(sg, b, lam=30.0, tol=1e-5, maxiter=2000,
+                              precondition=True)
+    f = np.asarray(gm.freq, np.float64)
+    zc = g.astype(np.float64) - 2.0 * f[None, :]
+    want_x = np.linalg.solve(zc @ zc.T + 30.0 * np.eye(g.shape[0]),
+                             np.asarray(b))
+    x = np.asarray(res.x)[: g.shape[0]]
+    assert np.abs(x - want_x).max() / np.abs(want_x).max() < 1e-4
