@@ -94,3 +94,19 @@ def call32(pallas_callable, *args):
     in 32-bit mode never changes results."""
     with jax.enable_x64(False):
         return pallas_callable(*args)
+
+
+def packed_row_sq_stats(zq):
+    """Per-row Σ z² over a planar16 packing, EXACTLY, as f32 [rows]:
+    Σ z² = Σ z + 2·#{z = 2} for z ∈ {0,1,2} — both terms integer-exact
+    from shift/mask plane sums (missing packs as 0 and contributes 0).
+    The shared core of the single-chip / 1D- / 2D-sharded GRM diagonals."""
+    import jax.numpy as jnp
+
+    s1 = jnp.zeros((zq.shape[0],), jnp.int32)
+    c2 = jnp.zeros((zq.shape[0],), jnp.int32)
+    for m in range(16):
+        plane = (zq >> _SHIFTS[m]) & jnp.uint32(3)
+        s1 = s1 + jnp.sum(plane, axis=1).astype(jnp.int32)
+        c2 = c2 + jnp.sum((plane == 2).astype(jnp.int32), axis=1)
+    return (s1 + 2 * c2).astype(jnp.float32)

@@ -376,7 +376,7 @@ def sharded_grm_diag(
     """diag(Z_c Z_cᵀ) across the mesh, exactly (solve.grm_diag distributed):
     Σ z² and Σ f z are additive over each device's SNP shard, merged with
     one psum.  Feeds the sharded Jacobi PCG."""
-    from ..ops.common import _SHIFTS
+    from ..ops.common import packed_row_sq_stats
 
     mesh = mesh or _mesh_of(sg)
     if interpret is None:
@@ -385,13 +385,7 @@ def sharded_grm_diag(
     f_pad = _pad_rows(sg.freq[:, None], sg.zq_t.shape[0])
 
     def body(zq_n_local, zq_t_local, f_pad_local, f_local):
-        s1 = jnp.zeros((zq_n_local.shape[0],), jnp.int32)
-        c2 = jnp.zeros((zq_n_local.shape[0],), jnp.int32)
-        for m in range(16):
-            plane = (zq_n_local >> _SHIFTS[m]) & jnp.uint32(3)
-            s1 = s1 + jnp.sum(plane, axis=1).astype(jnp.int32)
-            c2 = c2 + jnp.sum((plane == 2).astype(jnp.int32), axis=1)
-        d = (s1 + 2 * c2).astype(jnp.float32)
+        d = packed_row_sq_stats(zq_n_local)
         if center:
             # tall-schedule output is padded to 16*kw_indiv rows — slice
             # back to the zq_n row padding before combining
@@ -444,9 +438,10 @@ def _cg_jit(sg, b, lam, center, tol, maxiter, mesh, interpret,
 
     minv = None
     if precondition:
-        d = sharded_grm_diag(sg, center=center, mesh=mesh,
-                             interpret=interpret) + lam
-        minv = jnp.where(d > 0, 1.0 / d, 1.0)
+        from ..solve.cg import jacobi_minv
+
+        minv = jacobi_minv(sharded_grm_diag(sg, center=center, mesh=mesh,
+                                            interpret=interpret) + lam)
     return cg(op, b, tol=tol, maxiter=maxiter, minv=minv)
 
 

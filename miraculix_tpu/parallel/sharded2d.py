@@ -280,15 +280,9 @@ def sharded_grm_diag_2d(
     ai, ak = sg.axes
 
     def body(zq_local):
-        from ..ops.common import _SHIFTS
+        from ..ops.common import packed_row_sq_stats
 
-        s1 = jnp.zeros((zq_local.shape[0],), jnp.int32)
-        c2 = jnp.zeros((zq_local.shape[0],), jnp.int32)
-        for m in range(16):
-            plane = (zq_local >> _SHIFTS[m]) & jnp.uint32(3)
-            s1 = s1 + jnp.sum(plane, axis=1).astype(jnp.int32)
-            c2 = c2 + jnp.sum((plane == 2).astype(jnp.int32), axis=1)
-        return jax.lax.psum((s1 + 2 * c2).astype(jnp.float32), ak)
+        return jax.lax.psum(packed_row_sq_stats(zq_local), ak)
 
     zsq = jax.shard_map(
         body, mesh=mesh, in_specs=(P(ai, ak),), out_specs=P(ai),
@@ -351,9 +345,10 @@ def _cg2d_jit(sg, bp, lam, center, tol, maxiter, mesh, interpret,
 
     minv = None
     if precondition:
-        d = sharded_grm_diag_2d(sg, center=center, mesh=mesh,
-                                interpret=interpret) + lam
-        minv = jnp.where(d > 0, 1.0 / d, 1.0)
+        from ..solve.cg import jacobi_minv
+
+        minv = jacobi_minv(sharded_grm_diag_2d(sg, center=center, mesh=mesh,
+                                               interpret=interpret) + lam)
     return cg(op, bp, tol=tol, maxiter=maxiter, minv=minv)
 
 

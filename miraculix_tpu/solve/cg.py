@@ -102,16 +102,9 @@ def grm_diag(g: GenoMatrix, center: bool = True,
     Jacobi preconditioner of :func:`cg` / :func:`grm_cg_solve`; missing
     genotypes are packed as 0 and contribute their centered term exactly
     like the matvec's, so M matches the operator."""
-    from ..ops.common import _SHIFTS
+    from ..ops.common import packed_row_sq_stats
 
-    zq = g.zq_n
-    s1 = jnp.zeros((zq.shape[0],), jnp.int32)
-    c2 = jnp.zeros((zq.shape[0],), jnp.int32)
-    for m in range(16):
-        plane = (zq >> _SHIFTS[m]) & jnp.uint32(3)
-        s1 = s1 + jnp.sum(plane, axis=1).astype(jnp.int32)
-        c2 = c2 + jnp.sum((plane == 2).astype(jnp.int32), axis=1)
-    zsq = (s1 + 2 * c2).astype(jnp.float32)[: g.indiv]  # Σ z², exact
+    zsq = packed_row_sq_stats(g.zq_n)[: g.indiv]  # Σ z², exact
     if center:
         f = g.freq.astype(jnp.float32)
         fz = dgemm(g, f[:, None], trans="n", center=False)[:, 0]
@@ -121,6 +114,13 @@ def grm_diag(g: GenoMatrix, center: bool = True,
     if scale:
         d = d / g.sigma2.astype(d.dtype)
     return d
+
+
+def jacobi_minv(d: jax.Array) -> jax.Array:
+    """Elementwise inverse of a (strictly positive) operator diagonal, with
+    non-positive entries — padding or degenerate rows — mapped to 1 so the
+    preconditioner is a no-op there."""
+    return jnp.where(d > 0, 1.0 / d, 1.0)
 
 
 def grm_matvec(
@@ -173,10 +173,8 @@ def grm_cg_solve(
             gv = gv + lam * v
         return gv
 
-    minv = None
-    if precondition:
-        d = grm_diag(g, center=center, scale=scale) + lam
-        minv = jnp.where(d > 0, 1.0 / d, 1.0)
+    minv = jacobi_minv(grm_diag(g, center=center, scale=scale) + lam) \
+        if precondition else None
     return cg(op, b, tol=tol, maxiter=maxiter, minv=minv)
 
 
