@@ -24,7 +24,38 @@ BASELINE_GENO_COL_OPS = 150_000 * 150_000 * 32 / 5.1  # = 1.412e11
 INDIV, SNPS, NCOL = 4096, 65536, 32
 
 
+def _probe_backend(timeout_s: float = 300.0) -> None:
+    """Fail FAST (nonzero exit, clear stderr) when the TPU tunnel is down
+    instead of hanging forever in backend init — observed 2026-08-17: the
+    axon backend either raises UNAVAILABLE or blocks indefinitely."""
+    import sys
+    import threading
+
+    err = []
+
+    def probe():
+        try:
+            import jax
+            jax.devices()
+        except Exception as e:  # noqa: BLE001 - report any init failure
+            err.append(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(f"bench: TPU backend init still hung after {timeout_s:.0f}s "
+              "(tunnel outage?) — aborting", file=sys.stderr, flush=True)
+        import os
+        os._exit(3)
+    if err:
+        print(f"bench: TPU backend unavailable: {err[0]!r}", file=sys.stderr,
+              flush=True)
+        raise SystemExit(3)
+
+
 def main() -> None:
+    _probe_backend()
     import jax
     import jax.numpy as jnp
 
