@@ -216,6 +216,57 @@ def bench_dgemm_exact(panel: str = "small", ncol: int = 8,
     }
 
 
+def bench_solve_refined(panel: str = "small", reps: int = 3) -> dict:
+    """f64-grade GRM solve by iterative refinement (grm_cg_solve_refined):
+    WALL time per solve (host-orchestrated outer loop around the on-device
+    CG), with the plain f32 CG wall for context and the achieved true-f64
+    relative residual."""
+    import statistics
+
+    from .geno import from_dense
+    from .io import bed
+    from .solve.cg import grm_cg_solve, grm_cg_solve_refined
+
+    p = PANELS[panel]
+    snps, indiv = p["snps"], p["indiv"]
+    g = bed.simulate_genotypes(indiv, snps, seed=0)
+    gm = from_dense(g)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(indiv)
+    lam = 100.0
+
+    def wall(fn):
+        fn()  # warm (compile + caches)
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return statistics.median(ts)
+
+    state = {}
+
+    def refined():
+        x, outer, inner, rel = grm_cg_solve_refined(
+            gm, b, lam=lam, tol=1e-10)
+        state.update(outer=outer, inner=inner, rel=float(rel.max()))
+
+    per = wall(refined)
+    per_f32 = wall(lambda: np.asarray(grm_cg_solve(
+        gm, np.asarray(b, np.float32), lam=lam, tol=1e-4).x))
+    return {
+        "suite": "solve_refined",
+        "panel": panel,
+        "config": f"{snps}x{indiv} (G + {lam} I) x = b, tol 1e-10",
+        "wall_seconds_per_solve": round(per, 4),
+        "outer_iters": state.get("outer"),
+        "inner_iters": state.get("inner"),
+        "true_f64_rel_residual": state.get("rel"),
+        "f32_cg_wall_s": round(per_f32, 4),
+        "slowdown_vs_f32_cg": round(per / max(per_f32, 1e-12), 2),
+    }
+
+
 def bench_grm(panel: str, iters: int = 8, comparator: bool = False) -> dict:
     """Raw integer crossproduct (GRM direction) throughput."""
     import jax.numpy as jnp
@@ -588,8 +639,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="miraculix_tpu.benchmark")
     ap.add_argument("--suite", default="all",
                     choices=["dgemm", "dgemm_exact", "grm", "ld",
-                             "sparse_solve", "gblup_fullscale", "scaling",
-                             "all"])
+                             "sparse_solve", "solve_refined",
+                             "gblup_fullscale", "scaling", "all"])
     ap.add_argument("--panels", nargs="*", default=["small"])
     ap.add_argument("--ncol", type=int, default=32)
     ap.add_argument("--sparse-n", type=int, default=1_000_000)
@@ -618,6 +669,10 @@ def main(argv=None) -> int:
                 print(json.dumps(bench_dgemm_exact(p, ncol=args.ncol)))
     if args.suite == "sparse_solve":
         print(json.dumps(bench_sparse_solve(n=args.sparse_n)))
+    if args.suite == "solve_refined":
+        for p in args.panels:
+            if p in PANELS:
+                print(json.dumps(bench_solve_refined(p)))
     if args.suite == "gblup_fullscale":
         print(json.dumps(bench_gblup_fullscale()))
     if args.suite in ("scaling", "all"):
