@@ -21,6 +21,11 @@ Two layered techniques (round 2):
 
     python examples/exact_f64_solves.py [--snps 8192] [--indiv 1024]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -6,6 +6,11 @@ The TPU rebuild of the reference's examples/gblup/calculate_gblup.jl
     python examples/gblup_pipeline.py [--snps 50000] [--indiv 10000]
                                       [--h2 0.5] [--mesh N]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

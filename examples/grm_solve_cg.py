@@ -6,6 +6,11 @@ src/cuda/dgemm_compressed_cuda.cu:251-253).
 
     python examples/grm_solve_cg.py [--snps 50000] [--indiv 10000]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

@@ -9,6 +9,11 @@ substitution (miraculix_tpu.solve.sparse).
 
 Run from the repo root:  python examples/mixblup_sparse_solve.py [n]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 
