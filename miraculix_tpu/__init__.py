@@ -12,7 +12,8 @@ MXU, sharded across device meshes with XLA collectives.
 from .geno import GenoMatrix, from_bed, from_dense, from_plink, load, save
 from .options import Options, get_global_options, set_global_options
 from .ops.dgemm import dgemm, packed_matmul
-from .ops.grm import grm, grm_blocked, ld, ld_blocked, snp_crossprod
+from .ops.grm import (grm, grm_blocked, ld, ld_blocked,
+                      ld_windowed, snp_crossprod)
 from .streamed import StreamedGeno
 
 __version__ = "0.2.0"
@@ -30,6 +31,7 @@ __all__ = [
     "grm_blocked",
     "ld",
     "ld_blocked",
+    "ld_windowed",
     "load",
     "packed_matmul",
     "save",

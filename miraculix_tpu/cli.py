@@ -146,11 +146,19 @@ def cmd_grm(args) -> int:
 def cmd_ld(args) -> int:
     import numpy as np
 
-    from . import from_bed, ld
+    from . import from_bed, ld, ld_windowed
 
-    out = np.asarray(ld(from_bed(args.bed)))
+    g = from_bed(args.bed)
+    if args.window:
+        out = ld_windowed(g, window=args.window, squared=args.squared)
+        np.save(args.out, out)
+        print(f"wrote {args.out}: {out.shape[0]} x {args.window} banded LD "
+              f"{'r^2' if args.squared else 'r'} (partner = snp+1+d)")
+        return 0
+    out = np.asarray(ld(g, squared=args.squared))
     np.save(args.out, out)
-    print(f"wrote {args.out}: {out.shape[0]}^2 LD r")
+    print(f"wrote {args.out}: {out.shape[0]}^2 LD "
+          f"{'r^2' if args.squared else 'r'}")
     return 0
 
 
@@ -211,6 +219,10 @@ def main(argv=None) -> int:
     gr.add_argument("--row-block", type=int, default=8192)
 
     l = sub.add_parser("ld")
+    l.add_argument("--window", type=int, default=0,
+                   help="banded LD within a SNP window (LD-pruning shape); "
+                        "0 = full matrix")
+    l.add_argument("--squared", action="store_true", help="emit r^2")
     l.add_argument("bed")
     l.add_argument("-o", "--out", default="ld.npy")
 

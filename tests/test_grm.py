@@ -139,3 +139,24 @@ def test_crossprod_autopads_odd_row_counts(rng):
     m2 = np.asarray(packed_crossprod(zq2, interpret=True))
     np.testing.assert_array_equal(
         m2, g2.astype(np.int64) @ g2.astype(np.int64).T)
+
+
+def test_ld_windowed_matches_full(rng):
+    """Banded LD == the corresponding superdiagonals of the full r matrix;
+    entries past the panel edge are 0; squared option squares."""
+    import miraculix_tpu as mx
+
+    g = bed.simulate_genotypes(96, 900, seed=18)
+    gm = mx.from_dense(g)
+    full = np.asarray(mx.ld(gm))
+    w = 48
+    band = mx.ld_windowed(gm, window=w, row_block=512)
+    want = np.zeros((900, w), np.float32)
+    for s in range(900):
+        hi = min(s + 1 + w, 900)
+        want[s, : hi - s - 1] = full[s, s + 1: hi]
+    assert np.abs(band - want).max() < 2e-5
+    assert (band[-1] == 0).all()  # last SNP has no later partner
+    np.testing.assert_allclose(
+        mx.ld_windowed(gm, window=w, row_block=512, squared=True),
+        band * band, atol=1e-6)
