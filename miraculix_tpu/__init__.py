@@ -13,7 +13,7 @@ from .geno import GenoMatrix, from_bed, from_dense, from_plink, load, save
 from .options import Options, get_global_options, set_global_options
 from .ops.dgemm import dgemm, packed_matmul
 from .ops.grm import (grm, grm_blocked, ld, ld_blocked,
-                      ld_windowed, snp_crossprod)
+                      ld_prune, ld_windowed, snp_crossprod)
 from .streamed import StreamedGeno
 
 __version__ = "0.2.0"
@@ -31,6 +31,7 @@ __all__ = [
     "grm_blocked",
     "ld",
     "ld_blocked",
+    "ld_prune",
     "ld_windowed",
     "load",
     "packed_matmul",

@@ -500,6 +500,48 @@ def ld_windowed(
     return out
 
 
+def ld_prune(
+    g: GenoMatrix,
+    window: int = 512,
+    r2_threshold: float = 0.2,
+    row_block: int = 4096,
+):
+    """Greedy pairwise LD pruning (the `plink --indep-pairwise` workflow):
+    scan SNPs left to right; for every still-kept pair within ``window``
+    whose r² exceeds ``r2_threshold``, drop the member with the LOWER MAF
+    (ties drop the later SNP).  Returns a boolean keep-mask [snps].
+
+    Runs off the banded r² of :func:`ld_windowed` (O(snps x window) device
+    work + memory), so it scales to panels whose full LD matrix could
+    never be formed.
+    """
+    import numpy as np
+
+    band2 = ld_windowed(g, window=window, row_block=row_block, squared=True)
+    snps = g.snps
+    f = np.asarray(g.freq, np.float64)
+    maf = np.minimum(f, 1.0 - f)
+    keep = np.ones(snps, bool)
+    for s in range(snps):
+        if not keep[s]:
+            continue
+        hi = min(s + 1 + window, snps)
+        part = np.arange(s + 1, hi)
+        mask = keep[part] & (band2[s, : hi - s - 1] > r2_threshold)
+        if not mask.any():
+            continue
+        bad = part[mask]
+        # drop the lower-MAF member of each offending pair
+        drop_self = maf[s] < maf[bad]
+        if drop_self.any():
+            keep[s] = False
+            # s is gone: its remaining pairs are moot
+            keep[bad[~drop_self]] = False
+            continue
+        keep[bad] = False
+    return keep
+
+
 def _row_block_fn(zq, rb: int):
     """Row-block slicer for out-of-core loops: returns block i of ``rb``
     packed rows (device or host source), zero-padding a ragged last block."""

@@ -160,3 +160,25 @@ def test_ld_windowed_matches_full(rng):
     np.testing.assert_allclose(
         mx.ld_windowed(gm, window=w, row_block=512, squared=True),
         band * band, atol=1e-6)
+
+
+def test_ld_prune_invariants(rng):
+    """Greedy pairwise pruning: exact-duplicate SNPs lose exactly one
+    member, and NO kept pair within the window exceeds the threshold."""
+    import miraculix_tpu as mx
+
+    base = bed.simulate_genotypes(200, 400, seed=5)
+    dup = base.copy()
+    dup[:, 100:120] = dup[:, 80:100]  # r^2 = 1 pairs, 20 apart
+    gm = mx.from_dense(dup)
+    w, thr = 64, 0.5
+    keep = mx.ld_prune(gm, window=w, r2_threshold=thr)
+    for a, b in zip(range(80, 100), range(100, 120)):
+        assert not (keep[a] and keep[b])
+    band2 = mx.ld_windowed(gm, window=w, squared=True)
+    for s in range(400):
+        if not keep[s]:
+            continue
+        hi = min(s + 1 + w, 400)
+        part = np.arange(s + 1, hi)
+        assert not (keep[part] & (band2[s, : hi - s - 1] > thr)).any()
