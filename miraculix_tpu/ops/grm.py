@@ -443,6 +443,10 @@ def ld_windowed(
     from the one-pass packed row stats (no full crossproduct needed).
     Missing genotypes are treated as :func:`ld_blocked` treats them
     (packed 0, frequency excludes missing; no correction term).
+
+    Out-of-core: pass a HOST-resident panel (``from_bed(path,
+    device_put=False)``) — row blocks transfer H2D per step, so the packed
+    panel never needs to fit HBM.
     """
     import numpy as np
 
