@@ -12,6 +12,7 @@ MXU, sharded across device meshes with XLA collectives.
 from .geno import GenoMatrix, from_bed, from_dense, from_plink, load, save
 from .options import Options, get_global_options, set_global_options
 from .ops.dgemm import dgemm, packed_matmul
+from .gwas import GWASResult, gwas_linear
 from .ops.grm import (grm, grm_blocked, ld, ld_blocked,
                       ld_prune, ld_windowed, snp_crossprod)
 from .streamed import StreamedGeno
@@ -31,6 +32,8 @@ __all__ = [
     "grm_blocked",
     "ld",
     "ld_blocked",
+    "GWASResult",
+    "gwas_linear",
     "ld_prune",
     "ld_windowed",
     "load",

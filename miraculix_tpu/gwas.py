@@ -1,0 +1,112 @@
+"""GWAS linear association scan: per-SNP regression straight off the
+packed panel — y ~ intercept + covariates + SNP dosage, one SNP at a time,
+WITHOUT ever forming a dense genotype matrix or looping over SNPs.
+
+The classic residualization identity collapses the per-SNP regressions
+into three packed operations: with X the covariate matrix (intercept
+included) and M = I - X (XᵀX)⁻¹ Xᵀ,
+
+    beta_s = z_sᵀ M y / d_s,      d_s = z_sᵀ M z_s
+    d_s    = (ZᵀZ)_ss - a_sᵀ (XᵀX)⁻¹ a_s,   a_s = Xᵀ z_s
+
+- Zᵀ (M y) is ONE packed dgemm 't' pass (ops.dgemm),
+- A = Zᵀ X is one more 't' pass with p columns,
+- diag(ZᵀZ) is the exact one-pass packed row stats
+  (ops.common.packed_row_sq_stats — no crossproduct).
+
+Raw (uncentered) dosages are correct here: X contains the intercept, so M
+annihilates constants and M z equals M z_centered.  Missing genotypes are
+packed as 0 (the panel-wide convention); for the exact reference
+semantics, mean-impute upstream or use panels without missing calls.
+
+t statistics use the per-SNP residual variance
+    sigma²_s = (y~ᵀy~ - beta_s² d_s) / (n - p - 1)
+with df = n - p - 1; two-sided p-values come from the t survival function
+(scipy, shipped with jax).
+
+The reference has no GWAS driver — this is downstream tooling its users
+run through PLINK/GCTA after exporting; here it rides the same MXU kernels
+as everything else.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class GWASResult(NamedTuple):
+    beta: np.ndarray      # [snps] per-SNP effect estimates
+    se: np.ndarray        # [snps] standard errors
+    t: np.ndarray         # [snps] t statistics
+    p: np.ndarray         # [snps] two-sided p-values
+    df: int               # residual degrees of freedom
+
+
+def gwas_linear(
+    g,
+    y: np.ndarray,
+    covariates: Optional[np.ndarray] = None,
+) -> GWASResult:
+    """Per-SNP linear association scan (see module docstring).
+
+    ``g``: GenoMatrix.  ``y``: [indiv] phenotype.  ``covariates``:
+    optional [indiv, c] matrix (the intercept is always added).
+    """
+    import jax.numpy as jnp
+
+    from .ops.common import packed_row_sq_stats
+    from .ops.dgemm import dgemm
+
+    n = g.indiv
+    y = np.asarray(y, np.float64).reshape(n)
+    cols = [np.ones((n, 1))]
+    if covariates is not None:
+        cov = np.asarray(covariates, np.float64)
+        if cov.ndim == 1:
+            cov = cov[:, None]
+        if cov.shape[0] != n:
+            raise ValueError(f"covariates have {cov.shape[0]} rows, "
+                             f"expected {n}")
+        cols.append(cov)
+    x = np.concatenate(cols, axis=1)
+    p = x.shape[1]
+    df = n - p - 1
+    if df <= 0:
+        raise ValueError(f"not enough residual df: n={n}, p={p}")
+
+    xtx = x.T @ x
+    xtx_inv = np.linalg.inv(xtx)
+    # residualized phenotype y~ = M y
+    coef = xtx_inv @ (x.T @ y)
+    y_res = y - x @ coef
+    yty = float(y_res @ y_res)
+
+    # the three packed passes (device; f32-grade is ample for test stats)
+    num = np.asarray(dgemm(
+        g, jnp.asarray(y_res[:, None], jnp.float32), trans="t",
+        center=False), np.float64)[:, 0]                      # Zᵀ M y
+    a = np.asarray(dgemm(
+        g, jnp.asarray(x, jnp.float32), trans="t", center=False),
+        np.float64)                                           # Zᵀ X [snps,p]
+    import jax
+
+    zsq = np.asarray(jax.jit(packed_row_sq_stats)(g.zq_t),
+                     np.float64)[: g.snps]                    # diag(ZᵀZ)
+    d = zsq - np.einsum("sp,pq,sq->s", a, xtx_inv, a)
+    d = np.maximum(d, 0.0)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        beta = np.where(d > 0, num / np.maximum(d, 1e-300), 0.0)
+        sigma2 = np.maximum(yty - beta * num, 0.0) / df
+        se = np.sqrt(np.where(d > 0, sigma2 / np.maximum(d, 1e-300),
+                              np.inf))
+        t = np.where(se > 0, beta / se, 0.0)
+        t = np.where(np.isfinite(t), t, 0.0)
+    try:
+        from scipy.stats import t as tdist
+
+        pvals = 2.0 * tdist.sf(np.abs(t), df)
+    except ImportError:  # pragma: no cover - scipy ships with jax
+        pvals = np.full_like(t, np.nan)
+    return GWASResult(beta=beta, se=se, t=t, p=pvals, df=df)

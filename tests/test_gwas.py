@@ -1,0 +1,70 @@
+"""GWAS linear scan: must match per-SNP numpy least-squares exactly."""
+import numpy as np
+import pytest
+
+import miraculix_tpu as mx
+from miraculix_tpu.gwas import gwas_linear
+from miraculix_tpu.io import bed
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _oracle(g, y, x):
+    """Per-SNP OLS with covariates, direct lstsq."""
+    n, snps = g.shape
+    beta = np.zeros(snps)
+    se = np.zeros(snps)
+    t = np.zeros(snps)
+    df = n - x.shape[1] - 1
+    for s in range(snps):
+        xs = np.concatenate([x, g[:, s: s + 1].astype(np.float64)], axis=1)
+        coef, _, rank, _ = np.linalg.lstsq(xs, y, rcond=None)
+        resid = y - xs @ coef
+        sigma2 = (resid @ resid) / df
+        cov = sigma2 * np.linalg.inv(xs.T @ xs)
+        beta[s] = coef[-1]
+        se[s] = np.sqrt(cov[-1, -1])
+        t[s] = beta[s] / se[s] if se[s] > 0 else 0.0
+    return beta, se, t
+
+
+def test_gwas_matches_per_snp_ols(rng):
+    g = bed.simulate_genotypes(150, 80, seed=7)
+    gm = mx.from_dense(g)
+    cov = rng.standard_normal((150, 2))
+    x = np.concatenate([np.ones((150, 1)), cov], axis=1)
+    # phenotype with real signal on a few SNPs
+    y = (1.0 * g[:, 3] - 0.8 * g[:, 50] + x @ np.array([1.0, 0.5, -0.2])
+         + rng.standard_normal(150))
+    res = gwas_linear(gm, y, covariates=cov)
+    wb, wse, wt = _oracle(g, y, x)
+    np.testing.assert_allclose(res.beta, wb, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(res.se, wse, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(res.t, wt, rtol=3e-4, atol=1e-4)
+    assert res.df == 150 - 3 - 1
+    # the causal SNPs should surface
+    assert res.p[3] < 1e-6 and res.p[50] < 1e-4
+    assert np.isfinite(res.p).all()
+
+
+def test_gwas_no_covariates(rng):
+    g = bed.simulate_genotypes(120, 40, seed=8)
+    gm = mx.from_dense(g)
+    y = 1.0 * g[:, 10] + rng.standard_normal(120)
+    res = gwas_linear(gm, y)
+    x = np.ones((120, 1))
+    wb, wse, wt = _oracle(g, y, x)
+    np.testing.assert_allclose(res.beta, wb, rtol=2e-4, atol=1e-6)
+    assert res.p[10] < 1e-4
+
+
+def test_gwas_monomorphic_snp_is_zero(rng):
+    g = bed.simulate_genotypes(100, 20, seed=9)
+    g[:, 5] = 1  # constant dosage: d_s = 0 after projection
+    gm = mx.from_dense(g)
+    y = rng.standard_normal(100)
+    res = gwas_linear(gm, y)
+    assert res.beta[5] == 0.0 and res.t[5] == 0.0
