@@ -50,8 +50,10 @@ def gwas_linear(
 ) -> GWASResult:
     """Per-SNP linear association scan (see module docstring).
 
-    ``g``: GenoMatrix.  ``y``: [indiv] phenotype.  ``covariates``:
-    optional [indiv, c] matrix (the intercept is always added).
+    ``g``: GenoMatrix or StreamedGeno (the three passes stream chunk by
+    chunk — biobank panels beyond HBM scan out of core).  ``y``: [indiv]
+    phenotype.  ``covariates``: optional [indiv, c] matrix (the intercept
+    is always added).
     """
     import jax.numpy as jnp
 
@@ -83,16 +85,28 @@ def gwas_linear(
     yty = float(y_res @ y_res)
 
     # the three packed passes (device; f32-grade is ample for test stats)
-    num = np.asarray(dgemm(
-        g, jnp.asarray(y_res[:, None], jnp.float32), trans="t",
-        center=False), np.float64)[:, 0]                      # Zᵀ M y
-    a = np.asarray(dgemm(
-        g, jnp.asarray(x, jnp.float32), trans="t", center=False),
-        np.float64)                                           # Zᵀ X [snps,p]
+    from .streamed import StreamedGeno
+
     import jax
 
-    zsq = np.asarray(jax.jit(packed_row_sq_stats)(g.zq_t),
-                     np.float64)[: g.snps]                    # diag(ZᵀZ)
+    if isinstance(g, StreamedGeno):
+        num = np.asarray(g.dgemm(y_res[:, None].astype(np.float32),
+                                 trans="t", center=False), np.float64)[:, 0]
+        a = np.asarray(g.dgemm(x.astype(np.float32), trans="t",
+                               center=False), np.float64)
+        stats = jax.jit(packed_row_sq_stats)
+        zsq = np.concatenate(
+            [np.asarray(stats(c.zq_t), np.float64)[: c.snps]
+             for c in g.chunks])
+    else:
+        num = np.asarray(dgemm(
+            g, jnp.asarray(y_res[:, None], jnp.float32), trans="t",
+            center=False), np.float64)[:, 0]                  # Zᵀ M y
+        a = np.asarray(dgemm(
+            g, jnp.asarray(x, jnp.float32), trans="t", center=False),
+            np.float64)                                       # Zᵀ X [snps,p]
+        zsq = np.asarray(jax.jit(packed_row_sq_stats)(g.zq_t),
+                         np.float64)[: g.snps]                # diag(ZᵀZ)
     d = zsq - np.einsum("sp,pq,sq->s", a, xtx_inv, a)
     d = np.maximum(d, 0.0)
 

@@ -68,3 +68,16 @@ def test_gwas_monomorphic_snp_is_zero(rng):
     y = rng.standard_normal(100)
     res = gwas_linear(gm, y)
     assert res.beta[5] == 0.0 and res.t[5] == 0.0
+
+
+def test_gwas_streamed_matches_in_memory(tmp_path, rng):
+    from miraculix_tpu.streamed import StreamedGeno
+
+    g = bed.simulate_genotypes(100, 700, seed=12)
+    path = str(tmp_path / "gw.bed")
+    bed.write_bed(path, g)
+    y = 0.8 * g[:, 99] + rng.standard_normal(100)
+    r_mem = gwas_linear(mx.from_dense(g), y)
+    r_str = gwas_linear(StreamedGeno.from_bed(path, chunk_snps=256), y)
+    np.testing.assert_allclose(r_str.beta, r_mem.beta, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(r_str.t, r_mem.t, rtol=1e-3, atol=1e-4)
