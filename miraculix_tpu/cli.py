@@ -174,6 +174,50 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_gwas(args) -> int:
+    """Per-SNP association scan; phenotype = 6th .fam column when present,
+    else simulated (gblup-style)."""
+    import numpy as np
+
+    from . import from_bed
+    from .gblup import simulate_phenotypes
+    from .gwas import gwas_linear
+    from .streamed import StreamedGeno  # noqa: F401 (stream path below)
+
+    if args.stream_chunk > 0:
+        g = StreamedGeno.from_bed(args.bed, chunk_snps=args.stream_chunk)
+    else:
+        g = from_bed(args.bed)
+    y = None
+    try:
+        vals = []
+        with open(args.bed[:-4] + ".fam") as fh:
+            for line in fh:
+                parts = line.split()
+                vals.append(float(parts[5]) if len(parts) > 5 else np.nan)
+        y = np.asarray(vals)
+        if np.isnan(y).any() or np.all(y == y[0]):
+            y = None
+    except (OSError, ValueError):
+        y = None
+    if y is None:
+        from .io import bed as bedio
+
+        dense, _ = bedio.read_bed_genotypes(args.bed)
+        y, _ = simulate_phenotypes(dense, h2=0.5)
+        print("(.fam has no phenotypes — simulated, h2=0.5)")
+    res = gwas_linear(g, y)
+    with open(args.out, "w") as fh:
+        fh.write("snp\tbeta\tse\tt\tp\n")
+        for i in range(len(res.beta)):
+            fh.write(f"{i}\t{res.beta[i]:.6g}\t{res.se[i]:.6g}\t"
+                     f"{res.t[i]:.6g}\t{res.p[i]:.6g}\n")
+    top = np.argsort(res.p)[:5]
+    print(f"wrote {args.out}: {len(res.beta)} SNPs, df={res.df}; "
+          f"top hits {list(top)} (p {[f'{res.p[i]:.2g}' for i in top]})")
+    return 0
+
+
 def cmd_gblup(args) -> int:
     from .gblup import run_gblup  # lazy import
 
@@ -218,6 +262,12 @@ def main(argv=None) -> int:
                     help="out-of-core (GRM larger than device memory)")
     gr.add_argument("--row-block", type=int, default=8192)
 
+    w = sub.add_parser("gwas")
+    w.add_argument("bed")
+    w.add_argument("-o", "--out", default="gwas.tsv")
+    w.add_argument("--stream-chunk", type=int, default=0,
+                   help="stream the panel in SNP chunks of this size")
+
     l = sub.add_parser("ld")
     l.add_argument("--window", type=int, default=0,
                    help="banded LD within a SNP window (LD-pruning shape); "
@@ -250,6 +300,7 @@ def main(argv=None) -> int:
         "bench": cmd_bench,
         "grm": cmd_grm,
         "ld": cmd_ld,
+        "gwas": cmd_gwas,
         "ingest": cmd_ingest,
         "gblup": cmd_gblup,
     }[args.cmd](args)
