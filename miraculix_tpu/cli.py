@@ -206,6 +206,19 @@ def cmd_gwas(args) -> int:
         dense, _ = bedio.read_bed_genotypes(args.bed)
         y, _ = simulate_phenotypes(dense, h2=0.5)
         print("(.fam has no phenotypes — simulated, h2=0.5)")
+    if args.mixed:
+        from .gwas import gwas_mixed
+
+        res = gwas_mixed(g, y, h2=args.h2)
+        with open(args.out, "w") as fh:
+            fh.write("snp\tbeta\tchi2\tp\n")
+            for i in range(len(res.beta)):
+                fh.write(f"{i}\t{res.beta[i]:.6g}\t{res.chi2[i]:.6g}\t"
+                         f"{res.p[i]:.6g}\n")
+        top = np.argsort(res.p)[:5]
+        print(f"wrote {args.out}: {len(res.beta)} SNPs, GRAMMAR-gamma "
+              f"{res.gamma:.3f}; top hits {list(top)}")
+        return 0
     res = gwas_linear(g, y)
     with open(args.out, "w") as fh:
         fh.write("snp\tbeta\tse\tt\tp\n")
@@ -267,6 +280,10 @@ def main(argv=None) -> int:
     w.add_argument("-o", "--out", default="gwas.tsv")
     w.add_argument("--stream-chunk", type=int, default=0,
                    help="stream the panel in SNP chunks of this size")
+    w.add_argument("--mixed", action="store_true",
+                   help="GRAMMAR-gamma mixed-model scan (structure-"
+                        "corrected; needs the panel in memory)")
+    w.add_argument("--h2", type=float, default=0.5)
 
     l = sub.add_parser("ld")
     l.add_argument("--window", type=int, default=0,
