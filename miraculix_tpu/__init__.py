@@ -12,7 +12,8 @@ MXU, sharded across device meshes with XLA collectives.
 from .geno import GenoMatrix, from_bed, from_dense, from_plink, load, save
 from .options import Options, get_global_options, set_global_options
 from .ops.dgemm import dgemm, packed_matmul
-from .gwas import GWASResult, MixedGWASResult, gwas_linear, gwas_mixed
+from .gwas import (GWASResult, MixedGWASResult, gwas_linear,
+                   gwas_logistic, gwas_mixed)
 from .ops.grm import (grm, grm_blocked, ld, ld_blocked,
                       ld_prune, ld_windowed, snp_crossprod)
 from .streamed import StreamedGeno
@@ -34,6 +35,7 @@ __all__ = [
     "ld_blocked",
     "GWASResult",
     "gwas_linear",
+    "gwas_logistic",
     "gwas_mixed",
     "MixedGWASResult",
     "ld_prune",

@@ -136,3 +136,40 @@ def test_gwas_mixed_matches_dense_grammar(rng):
     med_lin = np.median(lin.t[mask] ** 2)
     med_mix = np.median(res.chi2[mask])
     assert med_mix < med_lin
+
+
+def test_gwas_logistic_matches_per_snp_score(rng):
+    """Logistic score scan vs a direct per-SNP score-test oracle (same
+    null fit): U, V and the z-statistic must agree to f32 grade, and the
+    causal SNP must surface."""
+    from miraculix_tpu.gwas import gwas_logistic
+
+    r2 = np.random.default_rng(4)
+    g = bed.simulate_genotypes(300, 60, seed=10)
+    cov = r2.standard_normal(300)
+    eta = -0.4 + 0.9 * g[:, 7] - 1.1 * g[:, 40] + 0.5 * cov
+    y = (r2.random(300) < 1.0 / (1.0 + np.exp(-eta))).astype(np.float64)
+    gm = mx.from_dense(g)
+    res = gwas_logistic(gm, y, covariates=cov)
+
+    # oracle: same null IRLS, per-SNP score statistic in float64
+    x = np.concatenate([np.ones((300, 1)), cov[:, None]], axis=1)
+    b0 = np.zeros(2)
+    for _ in range(60):
+        mu = 1.0 / (1.0 + np.exp(-(x @ b0)))
+        w = np.maximum(mu * (1 - mu), 1e-12)
+        wx = x * w[:, None]
+        b0 = np.linalg.solve(x.T @ wx, wx.T @ (x @ b0 + (y - mu) / w))
+    mu = 1.0 / (1.0 + np.exp(-(x @ b0)))
+    w = np.maximum(mu * (1 - mu), 1e-12)
+    wx = x * w[:, None]
+    xtwx_inv = np.linalg.inv(x.T @ wx)
+    zf = g.astype(np.float64)
+    u = zf.T @ (y - mu)
+    a = zf.T @ wx
+    v = np.einsum("ns,n,ns->s", zf, w, zf) - np.einsum(
+        "sp,pq,sq->s", a, xtwx_inv, a)
+    zref = u / np.sqrt(v)
+    np.testing.assert_allclose(res.t, zref, rtol=5e-4, atol=5e-4)
+    assert res.p[7] < 1e-6 and res.p[40] < 1e-3
+    assert np.isfinite(res.p).all()
