@@ -206,6 +206,28 @@ def cmd_gwas(args) -> int:
         dense, _ = bedio.read_bed_genotypes(args.bed)
         y, _ = simulate_phenotypes(dense, h2=0.5)
         print("(.fam has no phenotypes — simulated, h2=0.5)")
+    if args.logistic:
+        from .gwas import gwas_logistic
+
+        yb = np.asarray(y)
+        uniq = np.unique(yb)
+        if not np.isin(uniq, (0.0, 1.0, 1.0)).all():
+            # PLINK convention: 1=control, 2=case
+            if set(uniq) <= {1.0, 2.0}:
+                yb = yb - 1.0
+            else:
+                raise SystemExit("--logistic needs a 0/1 (or plink 1/2) "
+                                 "phenotype")
+        res = gwas_logistic(g, yb)
+        with open(args.out, "w") as fh:
+            fh.write("snp\tbeta\tse\tz\tp\n")
+            for i in range(len(res.beta)):
+                fh.write(f"{i}\t{res.beta[i]:.6g}\t{res.se[i]:.6g}\t"
+                         f"{res.t[i]:.6g}\t{res.p[i]:.6g}\n")
+        top = np.argsort(res.p)[:5]
+        print(f"wrote {args.out}: {len(res.beta)} SNPs (logistic score); "
+              f"top hits {list(top)}")
+        return 0
     if args.mixed:
         from .gwas import gwas_mixed
 
@@ -280,6 +302,9 @@ def main(argv=None) -> int:
     w.add_argument("-o", "--out", default="gwas.tsv")
     w.add_argument("--stream-chunk", type=int, default=0,
                    help="stream the panel in SNP chunks of this size")
+    w.add_argument("--logistic", action="store_true",
+                   help="case-control logistic score test (0/1 or plink "
+                        "1/2 phenotype)")
     w.add_argument("--mixed", action="store_true",
                    help="GRAMMAR-gamma mixed-model scan (structure-"
                         "corrected; needs the panel in memory)")

@@ -311,17 +311,27 @@ def gwas_logistic(
     xtwx_inv = np.linalg.inv(x.T @ wx)
 
     # one packed pass for [resid | w | WX]  -> [snps, 2+p]
-    rhs = np.concatenate([resid[:, None], w[:, None], wx], axis=1)
-    zt = np.asarray(dgemm(g, jnp.asarray(rhs, jnp.float32), trans="t",
-                          center=False), np.float64)
-    u, zw, a = zt[:, 0], zt[:, 1], zt[:, 2:]
-    # indicator packing pass: Σ w·1(z=2) over individuals
     from .ops.common import on_cpu
+    from .streamed import StreamedGeno
 
-    ind_n = _indicator2_packing(g.zq_n)
-    s2 = np.asarray(packed_matmul_tall(
-        ind_n, jnp.asarray(w[:, None], jnp.float32), interpret=on_cpu()),
-        np.float64)[: g.snps, 0]
+    rhs = np.concatenate([resid[:, None], w[:, None], wx], axis=1)
+    if isinstance(g, StreamedGeno):
+        zt = np.asarray(g.dgemm(rhs.astype(np.float32), trans="t",
+                                center=False), np.float64)
+        s2 = np.concatenate([
+            np.asarray(packed_matmul_tall(
+                _indicator2_packing(jnp.asarray(c.zq_n)),
+                jnp.asarray(w[:, None], jnp.float32),
+                interpret=on_cpu()), np.float64)[: c.snps, 0]
+            for c in g.chunks])
+    else:
+        zt = np.asarray(dgemm(g, jnp.asarray(rhs, jnp.float32), trans="t",
+                              center=False), np.float64)
+        ind_n = _indicator2_packing(g.zq_n)
+        s2 = np.asarray(packed_matmul_tall(
+            ind_n, jnp.asarray(w[:, None], jnp.float32),
+            interpret=on_cpu()), np.float64)[: g.snps, 0]
+    u, zw, a = zt[:, 0], zt[:, 1], zt[:, 2:]
     swz2 = zw + 2.0 * s2                      # Σ w z²
     v = swz2 - np.einsum("sp,pq,sq->s", a, xtwx_inv, a)
     v = np.maximum(v, 0.0)

@@ -173,3 +173,18 @@ def test_gwas_logistic_matches_per_snp_score(rng):
     np.testing.assert_allclose(res.t, zref, rtol=5e-4, atol=5e-4)
     assert res.p[7] < 1e-6 and res.p[40] < 1e-3
     assert np.isfinite(res.p).all()
+
+
+def test_gwas_logistic_streamed_matches(tmp_path, rng):
+    from miraculix_tpu.gwas import gwas_logistic
+    from miraculix_tpu.streamed import StreamedGeno
+
+    r2 = np.random.default_rng(6)
+    g = bed.simulate_genotypes(150, 600, seed=14)
+    eta = -0.2 + 0.8 * g[:, 10]
+    y = (r2.random(150) < 1.0 / (1.0 + np.exp(-eta))).astype(np.float64)
+    path = str(tmp_path / "lg.bed")
+    bed.write_bed(path, g)
+    r_mem = gwas_logistic(mx.from_dense(g), y)
+    r_str = gwas_logistic(StreamedGeno.from_bed(path, chunk_snps=256), y)
+    np.testing.assert_allclose(r_str.t, r_mem.t, rtol=1e-4, atol=1e-4)
