@@ -267,6 +267,40 @@ def bench_solve_refined(panel: str = "small", reps: int = 3) -> dict:
     }
 
 
+def bench_gwas(panel: str = "medium", reps: int = 3) -> dict:
+    """Whole-panel GWAS linear scan WALL time (3 packed passes + host
+    epilogue) — the per-SNP cost the reference's users pay in external
+    tools after exporting."""
+    import statistics
+
+    from .gblup import simulate_phenotypes
+    from .geno import from_dense
+    from .gwas import gwas_linear
+    from .io import bed
+
+    p = PANELS[panel]
+    snps, indiv = p["snps"], p["indiv"]
+    g = bed.simulate_genotypes(indiv, snps, seed=0)
+    gm = from_dense(g)
+    y, _ = simulate_phenotypes(g, h2=0.5, seed=1)
+    cov = np.random.default_rng(2).standard_normal((indiv, 3))
+
+    def wall():
+        t0 = time.time()
+        gwas_linear(gm, y, covariates=cov)
+        return time.time() - t0
+
+    wall()  # warm
+    per = statistics.median(wall() for _ in range(reps))
+    return {
+        "suite": "gwas",
+        "panel": panel,
+        "config": f"{snps}x{indiv} linear scan, 3 covariates",
+        "wall_seconds_per_scan": round(per, 4),
+        "snps_per_s": snps / per,
+    }
+
+
 def bench_grm(panel: str, iters: int = 8, comparator: bool = False) -> dict:
     """Raw integer crossproduct (GRM direction) throughput."""
     import jax.numpy as jnp
@@ -639,7 +673,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="miraculix_tpu.benchmark")
     ap.add_argument("--suite", default="all",
                     choices=["dgemm", "dgemm_exact", "grm", "ld",
-                             "sparse_solve", "solve_refined",
+                             "sparse_solve", "solve_refined", "gwas",
                              "gblup_fullscale", "scaling", "all"])
     ap.add_argument("--panels", nargs="*", default=["small"])
     ap.add_argument("--ncol", type=int, default=32)
@@ -673,6 +707,10 @@ def main(argv=None) -> int:
         for p in args.panels:
             if p in PANELS:
                 print(json.dumps(bench_solve_refined(p)))
+    if args.suite == "gwas":
+        for p in args.panels:
+            if p in PANELS:
+                print(json.dumps(bench_gwas(p)))
     if args.suite == "gblup_fullscale":
         print(json.dumps(bench_gblup_fullscale()))
     if args.suite in ("scaling", "all"):
