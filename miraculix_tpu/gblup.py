@@ -309,3 +309,59 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
     cor_fit = np.corrcoef(res.fitted, y)[0, 1]
     print(f"cor(fitted, phenotype)     = {cor_fit:.3f}")
     return 0
+
+
+def cross_validate(
+    g,
+    y: np.ndarray,
+    h2: float = 0.5,
+    k: int = 5,
+    tol: float = 1e-5,
+    maxiter: int = 2000,
+    seed: int = 0,
+):
+    """K-fold cross-validated genomic prediction accuracy — the standard
+    GBLUP evaluation loop (reference users script it by exporting G; here
+    each fold is ONE on-device CG with a masked operator).
+
+    Per fold: solve (G_tt/σ² + λI) u_t = y_t on the TRAINING rows without
+    ever slicing G — the operator zero-masks the held-out rows
+    (op(v) = m·(G(m·v))/σ² + λ m·v + (1-m)·v keeps the system SPD and the
+    held-out components decoupled), then predicts ŷ_test = (G u)/σ²
+    restricted to the test rows.  Phenotypes are train-mean-centered per
+    fold (intercept-only fixed effects).
+
+    Returns ``(per_fold_correlations, mean_correlation)``.
+    """
+    import jax.numpy as jnp
+
+    from .solve.cg import cg, grm_matvec
+
+    n = g.indiv
+    lam = (1.0 - h2) / h2
+    y = np.asarray(y, np.float64).reshape(n)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    folds = np.array_split(perm, k)
+    sigma2 = float(g.sigma2)
+    cors = []
+    for test_idx in folds:
+        mask = np.ones(n, np.float32)
+        mask[test_idx] = 0.0
+        mj = jnp.asarray(mask[:, None])
+        ybar = y[mask.astype(bool)].mean()
+        yc = (y - ybar) * mask
+        b = jnp.asarray(yc[:, None], jnp.float32)
+
+        def op(v, mj=mj):
+            gv = grm_matvec(g, mj * v, center=True) / sigma2
+            return mj * gv + lam * (mj * v) + (1.0 - mj) * v
+
+        res = cg(op, b, tol=tol, maxiter=maxiter)
+        u = np.asarray(res.x, np.float64)
+        pred = np.asarray(
+            grm_matvec(g, jnp.asarray(u, jnp.float32), center=True),
+            np.float64)[:, 0] / sigma2
+        yhat = pred[test_idx] + ybar
+        cors.append(float(np.corrcoef(yhat, y[test_idx])[0, 1]))
+    return np.asarray(cors), float(np.mean(cors))

@@ -128,3 +128,18 @@ def test_gblup_user_covariates(rng):
                 solver="cg", tol=1e-6, maxiter=400)
     # beta = [intercept, cov, pc1, pc2]; the covariate coefficient ~ 3
     assert abs(res.beta[1] - 3.0) < 0.5
+
+
+def test_cross_validate_recovers_signal(panel):
+    """5-fold CV on a heritable phenotype: positive predictive correlation
+    in every fold, and the mean beats a permuted-phenotype null."""
+    geno, gm = panel
+    y, bv = gblup.simulate_phenotypes(geno, h2=0.8, n_qtl=60, seed=6)
+    cors, mean_cor = gblup.cross_validate(gm, y, h2=0.8, k=5, seed=1)
+    assert len(cors) == 5
+    assert mean_cor > 0.2
+    assert (cors > 0).all()
+    rng = np.random.default_rng(2)
+    _, null_cor = gblup.cross_validate(gm, rng.permutation(y), h2=0.8,
+                                       k=5, seed=1)
+    assert mean_cor > null_cor + 0.1
