@@ -365,3 +365,53 @@ def cross_validate(
         yhat = pred[test_idx] + ybar
         cors.append(float(np.corrcoef(yhat, y[test_idx])[0, 1]))
     return np.asarray(cors), float(np.mean(cors))
+
+
+def estimate_h2_he(
+    g,
+    y: np.ndarray,
+    n_probes: int = 16,
+    seed: int = 0,
+):
+    """Haseman–Elston regression estimate of SNP heritability h² — from
+    matvec-only primitives, G never materialized:
+
+        ĥ² = Σ_{i≠j} G_ij ỹ_i ỹ_j / Σ_{i≠j} G_ij²
+           = (ỹᵀGỹ - Σ_i G_ii ỹ_i²) / (tr(G²) - Σ_i G_ii²)
+
+    with ỹ the standardized phenotype, ỹᵀGỹ ONE on-device matvec, the
+    diagonal the exact one-pass `solve.grm_diag`, and tr(G²) a Hutchinson
+    estimate (mean over Rademacher probes z of ‖Gz‖² — ``n_probes``
+    matvecs batched as one block).  The reference pipeline takes variance
+    ratios as INPUT; this closes the loop so `gblup(h2=...)` can be fed
+    from the data.  Returns ``(h2_hat, details dict)``; the estimate is
+    clipped to [0, 1].
+    """
+    import jax.numpy as jnp
+
+    from .solve.cg import grm_diag, grm_matvec
+
+    n = g.indiv
+    y = np.asarray(y, np.float64).reshape(n)
+    yt = (y - y.mean()) / max(y.std(), 1e-12)
+    sigma2 = float(g.sigma2)
+
+    diag = np.asarray(grm_diag(g, center=True, scale=False),
+                      np.float64) / sigma2
+    gy = np.asarray(grm_matvec(
+        g, jnp.asarray(yt[:, None], jnp.float32), center=True),
+        np.float64)[:, 0] / sigma2
+    num = float(yt @ gy - (diag * yt * yt).sum())
+
+    rng = np.random.default_rng(seed)
+    zprobes = rng.choice((-1.0, 1.0), size=(n, n_probes))
+    gz = np.asarray(grm_matvec(
+        g, jnp.asarray(zprobes, jnp.float32), center=True),
+        np.float64) / sigma2
+    tr_g2 = float(np.mean(np.sum(gz * gz, axis=0)))
+    den = tr_g2 - float((diag * diag).sum())
+    h2 = num / den if den > 0 else float("nan")
+    return float(np.clip(h2, 0.0, 1.0)), {
+        "numerator": num, "trace_g2_estimate": tr_g2,
+        "diag_sq_sum": float((diag * diag).sum()), "n_probes": n_probes,
+    }

@@ -143,3 +143,19 @@ def test_cross_validate_recovers_signal(panel):
     _, null_cor = gblup.cross_validate(gm, rng.permutation(y), h2=0.8,
                                        k=5, seed=1)
     assert mean_cor > null_cor + 0.1
+
+
+def test_estimate_h2_he():
+    """HE regression recovers the simulated heritability.  The slope's
+    sampling SD scales like sqrt(2 M) / n (M SNPs, n individuals), so the
+    test uses a panel where that is ~0.08 and polygenic phenotypes (all
+    SNPs causal) so the QTL-GRM equals the fitted GRM."""
+    geno = bed.simulate_genotypes(800, 2000, seed=61)
+    gm = mx.from_dense(geno)
+    y_hi, _ = gblup.simulate_phenotypes(geno, h2=0.8, n_qtl=2000, seed=9)
+    y_lo, _ = gblup.simulate_phenotypes(geno, h2=0.1, n_qtl=2000, seed=9)
+    h2_hi, _ = gblup.estimate_h2_he(gm, y_hi, n_probes=32, seed=1)
+    h2_lo, _ = gblup.estimate_h2_he(gm, y_lo, n_probes=32, seed=1)
+    assert abs(h2_hi - 0.8) < 0.25, h2_hi
+    assert abs(h2_lo - 0.1) < 0.25, h2_lo
+    assert h2_hi > h2_lo + 0.3
