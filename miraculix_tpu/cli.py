@@ -257,7 +257,8 @@ def cmd_gblup(args) -> int:
     from .gblup import run_gblup  # lazy import
 
     return run_gblup(args.bed, h2=args.h2, pcs=args.pcs, solver=args.solver,
-                     stream_chunk=args.stream_chunk, tol=args.tol)
+                     stream_chunk=args.stream_chunk, tol=args.tol,
+                     estimate_h2=args.estimate_h2)
 
 
 def main(argv=None) -> int:
@@ -328,6 +329,9 @@ def main(argv=None) -> int:
     g.add_argument("--pcs", type=int, default=10)
     g.add_argument("--solver", choices=["cg", "refined", "dense"],
                    default="cg")
+    g.add_argument("--estimate-h2", action="store_true",
+                   help="estimate h2 from the data (Haseman-Elston) "
+                        "instead of using --h2")
     g.add_argument("--stream-chunk", type=int, default=0,
                    help="SNP chunk size for the out-of-core StreamedGeno "
                         "path (0 = in-memory GenoMatrix)")

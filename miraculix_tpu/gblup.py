@@ -247,7 +247,8 @@ def simulate_phenotypes(
 
 def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
               solver: str = "cg", stream_chunk: int = 0,
-              tol: float = 1e-4, verbose: bool = False) -> int:
+              tol: float = 1e-4, verbose: bool = False,
+              estimate_h2: bool = False) -> int:
     """CLI entry: full pipeline on a .bed fileset; phenotypes from the .fam
     6th column when present, else simulated with known breeding values.
 
@@ -255,10 +256,9 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
     (SNP chunks of that size, host-resident, device-streamed) — the
     BASELINE config-5 path for panels whose packed form exceeds HBM."""
     from .io import bed as bedio
+    from .streamed import StreamedGeno
 
     if stream_chunk > 0:
-        from .streamed import StreamedGeno
-
         g = StreamedGeno.from_bed(bed_path, chunk_snps=stream_chunk,
                                   verbose=True)
         cached = g.cache_to_device()  # hybrid: pin what fits in free HBM
@@ -298,6 +298,11 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
             geno, _ = bedio.read_bed_genotypes(bed_path)
         y, bv_true = simulate_phenotypes(geno, h2=h2)
         print("(.fam has no phenotypes — simulated with known BVs)")
+
+    if estimate_h2 and not isinstance(g, StreamedGeno):
+        h2_hat, _ = estimate_h2_he(g, y)
+        print(f"HE-estimated h2 = {h2_hat:.3f} (replacing --h2 {h2})")
+        h2 = min(max(h2_hat, 0.01), 0.99)
 
     res = gblup(g, y, h2=h2, n_pcs=pcs, solver=solver, tol=tol,
                 verbose=verbose or stream_chunk > 0)
