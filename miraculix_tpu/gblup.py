@@ -299,7 +299,7 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
         y, bv_true = simulate_phenotypes(geno, h2=h2)
         print("(.fam has no phenotypes — simulated with known BVs)")
 
-    if estimate_h2 and not isinstance(g, StreamedGeno):
+    if estimate_h2:
         h2_hat, _ = estimate_h2_he(g, y)
         print(f"HE-estimated h2 = {h2_hat:.3f} (replacing --h2 {h2})")
         h2 = min(max(h2_hat, 0.01), 0.99)
@@ -395,24 +395,35 @@ def estimate_h2_he(
     import jax.numpy as jnp
 
     from .solve.cg import grm_diag, grm_matvec
+    from .streamed import StreamedGeno
 
     n = g.indiv
     y = np.asarray(y, np.float64).reshape(n)
     yt = (y - y.mean()) / max(y.std(), 1e-12)
     sigma2 = float(g.sigma2)
+    streamed = isinstance(g, StreamedGeno)
 
-    diag = np.asarray(grm_diag(g, center=True, scale=False),
-                      np.float64) / sigma2
-    gy = np.asarray(grm_matvec(
-        g, jnp.asarray(yt[:, None], jnp.float32), center=True),
-        np.float64)[:, 0] / sigma2
+    if streamed:
+        diag = g.grm_diag(center=True) / sigma2
+
+        def mv(v):
+            return np.asarray(g.grm_matvec(v.astype(np.float32)),
+                              np.float64) / sigma2
+    else:
+        diag = np.asarray(grm_diag(g, center=True, scale=False),
+                          np.float64) / sigma2
+
+        def mv(v):
+            return np.asarray(grm_matvec(
+                g, jnp.asarray(v, jnp.float32), center=True),
+                np.float64) / sigma2
+
+    gy = mv(yt[:, None])[:, 0]
     num = float(yt @ gy - (diag * yt * yt).sum())
 
     rng = np.random.default_rng(seed)
     zprobes = rng.choice((-1.0, 1.0), size=(n, n_probes))
-    gz = np.asarray(grm_matvec(
-        g, jnp.asarray(zprobes, jnp.float32), center=True),
-        np.float64) / sigma2
+    gz = mv(zprobes)
     tr_g2 = float(np.mean(np.sum(gz * gz, axis=0)))
     den = tr_g2 - float((diag * diag).sum())
     h2 = num / den if den > 0 else float("nan")
