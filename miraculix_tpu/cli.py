@@ -257,6 +257,7 @@ def cmd_gblup(args) -> int:
     from .gblup import run_gblup  # lazy import
 
     return run_gblup(args.bed, h2=args.h2, pcs=args.pcs, solver=args.solver,
+                     h2_method=args.h2_method,
                      stream_chunk=args.stream_chunk, tol=args.tol,
                      estimate_h2=args.estimate_h2)
 
@@ -330,8 +331,11 @@ def main(argv=None) -> int:
     g.add_argument("--solver", choices=["cg", "refined", "dense"],
                    default="cg")
     g.add_argument("--estimate-h2", action="store_true",
-                   help="estimate h2 from the data (Haseman-Elston) "
-                        "instead of using --h2")
+                   help="estimate h2 from the data instead of using --h2")
+    g.add_argument("--h2-method", choices=["he", "reml"], default="he",
+                   help="--estimate-h2 estimator: 'he' (Haseman-Elston "
+                        "regression, two matvec batches) or 'reml' "
+                        "(stochastic AI-REML, GCTA --reml role)")
     g.add_argument("--stream-chunk", type=int, default=0,
                    help="SNP chunk size for the out-of-core StreamedGeno "
                         "path (0 = in-memory GenoMatrix)")

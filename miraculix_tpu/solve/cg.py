@@ -142,13 +142,13 @@ def grm_matvec(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("center", "scale", "tol", "maxiter", "lam", "precision",
+    static_argnames=("center", "scale", "tol", "maxiter", "precision",
                      "precondition"),
 )
 def grm_cg_solve(
     g: GenoMatrix,
     b: jax.Array,
-    lam: float = 0.0,
+    lam=0.0,
     center: bool = True,
     scale: bool = False,
     tol: float = 1e-2,
@@ -161,17 +161,21 @@ def grm_cg_solve(
     The GBLUP work-horse: with lam = sigma_e^2/sigma_u^2 this is the mixed-
     model equation solve of examples/gblup/calculate_gblup.jl:163-185.
 
+    ``lam`` is a TRACED argument: callers that sweep the ridge (REML
+    variance-component iterations, regularization paths) reuse one compiled
+    executable instead of recompiling the Pallas CG per value.
+
     ``precondition=True`` runs Jacobi-preconditioned CG with the exact GRM
     diagonal (:func:`grm_diag`) — one extra bandwidth pass at setup and one
     elementwise multiply per iteration; heterogeneous-relatedness panels
     converge in substantially fewer matvecs (the reference's CG has no
     preconditioner, grm_solve_cg.jl:109-134).
     """
+    lam = jnp.asarray(lam, jnp.float32)
+
     def op(v):
         gv = grm_matvec(g, v, center=center, scale=scale, precision=precision)
-        if lam:
-            gv = gv + lam * v
-        return gv
+        return gv + lam * v
 
     minv = jacobi_minv(grm_diag(g, center=center, scale=scale) + lam) \
         if precondition else None

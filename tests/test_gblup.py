@@ -159,3 +159,93 @@ def test_estimate_h2_he():
     assert abs(h2_hi - 0.8) < 0.25, h2_hi
     assert abs(h2_lo - 0.1) < 0.25, h2_lo
     assert h2_hi > h2_lo + 0.3
+
+
+def _profiled_reml_logl_argmax(geno, gm, y, grid):
+    """Exact dense REML oracle: profiled restricted log-likelihood over an
+    h2 grid via the eigendecomposition of the scaled GRM (intercept-only
+    fixed effects), total variance profiled out."""
+    n = geno.shape[0]
+    freq = np.asarray(gm.freq, np.float64)
+    gs = ref_impl.grm_oracle(geno, freq, scale=True)
+    w, u = np.linalg.eigh(gs)
+    yt = (y - y.mean()) / y.std()
+    uy = u.T @ yt
+    ux = u.T @ np.ones((n, 1))
+
+    def logl(h2):
+        d = h2 * w + (1 - h2)
+        v0ix = ux / d[:, None]
+        xtvx = ux.T @ v0ix
+        beta = np.linalg.solve(xtvx, v0ix.T @ uy)
+        ypy = uy @ (uy / d) - (v0ix.T @ uy) @ beta
+        st = ypy / (n - 1)
+        return -0.5 * ((n - 1) * np.log(st) + np.log(d).sum()
+                       + np.linalg.slogdet(xtvx)[1])
+
+    ll = np.array([logl(h) for h in grid])
+    return float(grid[ll.argmax()])
+
+
+@pytest.fixture(scope="module")
+def reml_panel():
+    geno = bed.simulate_genotypes(160, 800, seed=11)
+    gm = mx.from_dense(geno)
+    y, _ = gblup.simulate_phenotypes(geno, h2=0.6, n_qtl=400, seed=5)
+    h2_exact = _profiled_reml_logl_argmax(
+        geno, gm, y, np.linspace(0.01, 0.99, 393))
+    return geno, gm, y, h2_exact
+
+
+def test_estimate_h2_reml_exact_probes(reml_panel):
+    """Identity probes make every trace exact, so AI-REML must land on the
+    dense profiled-likelihood maximizer to CG/grid resolution."""
+    geno, gm, y, h2_exact = reml_panel
+    n = geno.shape[0]
+    h2, det = gblup.estimate_h2_reml(gm, y, probes=np.eye(n), cg_tol=1e-7)
+    assert det["exact_traces"] and det["converged"], det
+    assert abs(h2 - h2_exact) < 0.01, (h2, h2_exact)
+    assert np.isfinite(det["se_h2"]) and det["se_h2"] > 0
+
+
+def test_estimate_h2_reml_stochastic(reml_panel):
+    """Hutchinson traces (16 Rademacher probes) stay within the stochastic
+    trace error of the exact optimum and agree with HE on ordering."""
+    geno, gm, y, h2_exact = reml_panel
+    h2, det = gblup.estimate_h2_reml(gm, y, n_probes=16, seed=3,
+                                     cg_tol=1e-6)
+    assert det["converged"], det
+    assert abs(h2 - h2_exact) < 0.08, (h2, h2_exact)
+    # original-scale components recompose to var(y)·(s2g+s2e)
+    np.testing.assert_allclose(det["vg"] + det["ve"],
+                               y.var() * (det["s2g"] + det["s2e"]),
+                               rtol=1e-12)
+
+
+def test_estimate_h2_reml_streamed_matches_single_chip(tmp_path, reml_panel):
+    """Same seed + same probes on the out-of-core container must reproduce
+    the single-chip estimate (the solves differ only by CG tolerance)."""
+    geno, gm, y, _ = reml_panel
+    from miraculix_tpu.streamed import StreamedGeno
+
+    path = str(tmp_path / "reml.bed")
+    bed.write_bed(path, geno)
+    sg = StreamedGeno.from_bed(path, chunk_snps=256)
+    h2_s, _ = gblup.estimate_h2_reml(sg, y, n_probes=8, seed=3, cg_tol=1e-6)
+    h2_g, _ = gblup.estimate_h2_reml(gm, y, n_probes=8, seed=3, cg_tol=1e-6)
+    assert abs(h2_s - h2_g) < 5e-3, (h2_s, h2_g)
+
+
+def test_estimate_h2_reml_covariates(reml_panel):
+    """A real covariate with a strong fixed effect must be absorbed by X,
+    leaving the variance-component estimate unchanged (vs the no-effect
+    fit), not inflated into s2e."""
+    geno, gm, y, _ = reml_panel
+    rng = np.random.default_rng(8)
+    cov = rng.standard_normal(len(y))
+    y_shift = y + 3.0 * cov
+    h2_base, _ = gblup.estimate_h2_reml(gm, y, covariates=cov,
+                                        n_probes=16, seed=3)
+    h2_shift, _ = gblup.estimate_h2_reml(gm, y_shift, covariates=cov,
+                                         n_probes=16, seed=3)
+    assert abs(h2_shift - h2_base) < 0.03, (h2_shift, h2_base)
