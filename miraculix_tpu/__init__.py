@@ -17,6 +17,10 @@ from .gwas import (GWASResult, MixedGWASResult, gwas_linear,
 from .ops.grm import (grm, grm_blocked, ld, ld_blocked,
                       ld_prune, ld_windowed, snp_crossprod)
 from .streamed import StreamedGeno
+# NB: like gblup, the ssgblup SOLVER stays at miraculix_tpu.ssgblup.ssgblup
+# (re-exporting the function would shadow the submodule)
+from .pedigree import SparseCOO, a_inverse, a_matrix, inbreeding
+from .ssgblup import SingleStepHInv
 
 __version__ = "0.2.0"
 
@@ -45,4 +49,9 @@ __all__ = [
     "save",
     "set_global_options",
     "snp_crossprod",
+    "SparseCOO",
+    "a_inverse",
+    "a_matrix",
+    "inbreeding",
+    "SingleStepHInv",
 ]

@@ -1,0 +1,140 @@
+"""Single-step GBLUP: the matrix-free H^-1 operator and the full MME
+solve against dense float64 oracles."""
+import numpy as np
+import pytest
+
+import miraculix_tpu as mx
+from miraculix_tpu import pedigree as ped
+from miraculix_tpu import ssgblup as ss
+from miraculix_tpu.io import bed
+from miraculix_tpu.ops import ref_impl
+
+N_ANIM, N_GENO, N_SNPS = 120, 48, 600
+BLEND, TAU, OMEGA = 0.05, 1.0, 1.0
+
+
+@pytest.fixture(scope="module")
+def panel():
+    sire, dam = ped.simulate_pedigree(N_ANIM, n_founders=15, seed=4,
+                                      unknown_rate=0.1)
+    rng = np.random.default_rng(9)
+    geno_ids = np.sort(rng.choice(N_ANIM, size=N_GENO, replace=False)) + 1
+    geno = bed.simulate_genotypes(N_GENO, N_SNPS, seed=11)
+    gm = mx.from_dense(geno)
+    hinv = ss.SingleStepHInv(sire, dam, gm, geno_ids, blend=BLEND,
+                             tau=TAU, omega=OMEGA, inner_tol=1e-7,
+                             inner_maxiter=4000)
+
+    # dense oracle pieces
+    a = ped.a_matrix(sire, dam)
+    ainv_d = np.linalg.inv(a)
+    a22 = a[np.ix_(geno_ids - 1, geno_ids - 1)]
+    freq = np.asarray(gm.freq, np.float64)
+    gs = ref_impl.grm_oracle(geno, freq, scale=True)
+    gw = (1 - BLEND) * gs + BLEND * np.eye(N_GENO)
+    hinv_d = ainv_d.copy()
+    blk = TAU * np.linalg.inv(gw) - OMEGA * np.linalg.inv(a22)
+    hinv_d[np.ix_(geno_ids - 1, geno_ids - 1)] += blk
+    return sire, dam, geno_ids, geno, gm, hinv, hinv_d
+
+
+def test_hinv_matvec_matches_dense(panel):
+    _, _, _, _, _, hinv, hinv_d = panel
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((N_ANIM, 3)).astype(np.float32)
+    got = np.asarray(hinv.matvec(v), np.float64)
+    want = hinv_d @ v
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-4, (
+        np.abs(got - want).max())
+
+
+def test_a22_inv_block_identity(panel):
+    """A22^-1 from the blocks of sparse A^-1 must equal inv(A[geno,geno])."""
+    sire, dam, geno_ids, _, _, hinv, _ = panel
+    a = ped.a_matrix(sire, dam)
+    a22 = a[np.ix_(geno_ids - 1, geno_ids - 1)]
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal((N_GENO, 2)).astype(np.float32)
+    got = np.asarray(hinv.a22_inv(v), np.float64)
+    want = np.linalg.solve(a22, v)
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-4
+
+
+def test_gw_inv(panel):
+    _, _, _, geno, gm, hinv, _ = panel
+    freq = np.asarray(gm.freq, np.float64)
+    gw = ((1 - BLEND) * ref_impl.grm_oracle(geno, freq, scale=True)
+          + BLEND * np.eye(N_GENO))
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal((N_GENO, 2)).astype(np.float32)
+    got = np.asarray(hinv.gw_inv(v), np.float64)
+    want = np.linalg.solve(gw, v)
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-4
+
+
+def test_ssgblup_matches_dense_mme(panel):
+    """Full single-step solve == dense MME solve (phenotypes on a subset
+    of animals, some genotyped, some not; intercept + one covariate)."""
+    sire, dam, geno_ids, _, _, hinv, hinv_d = panel
+    rng = np.random.default_rng(3)
+    obs_ids = np.sort(rng.choice(N_ANIM, size=90, replace=False)) + 1
+    xmat = np.column_stack([np.ones(90), rng.standard_normal(90)])
+    h2 = 0.4
+    lam = (1 - h2) / h2
+    u_true = rng.standard_normal(N_ANIM)
+    y = xmat @ [1.0, 0.5] + u_true[obs_ids - 1] \
+        + 0.7 * rng.standard_normal(90)
+
+    res = ss.ssgblup(y, hinv, obs_ids=obs_ids, x=xmat, h2=h2, tol=1e-7,
+                     maxiter=5000)
+
+    w = np.zeros((90, N_ANIM))
+    w[np.arange(90), obs_ids - 1] = 1.0
+    top = np.column_stack([xmat.T @ xmat, xmat.T @ w])
+    bottom = np.column_stack([w.T @ xmat, w.T @ w + lam * hinv_d])
+    mme = np.vstack([top, bottom])
+    rhs = np.concatenate([xmat.T @ y, w.T @ y])
+    z = np.linalg.solve(mme, rhs)
+
+    assert np.abs(res.beta - z[:2]).max() < 5e-3, (res.beta, z[:2])
+    denom = np.abs(z[2:]).max()
+    assert np.abs(res.u - z[2:]).max() / denom < 5e-3
+    # genomic information must actually move genotyped predictions:
+    # compare against a pedigree-only (plain A^-1) fit
+    res_a = _pedigree_only(sire, dam, y, obs_ids, xmat, lam)
+    moved = np.abs(res.u[geno_ids - 1] - res_a[geno_ids - 1]).max()
+    assert moved > 1e-3
+
+
+def _pedigree_only(sire, dam, y, obs_ids, xmat, lam):
+    a = ped.a_matrix(sire, dam)
+    n = len(sire)
+    n_obs = len(y)
+    w = np.zeros((n_obs, n))
+    w[np.arange(n_obs), obs_ids - 1] = 1.0
+    mme = np.vstack([
+        np.column_stack([xmat.T @ xmat, xmat.T @ w]),
+        np.column_stack([w.T @ xmat, w.T @ w + lam * np.linalg.inv(a)]),
+    ])
+    rhs = np.concatenate([xmat.T @ y, w.T @ y])
+    return np.linalg.solve(mme, rhs)[xmat.shape[1]:]
+
+
+def test_ssgblup_repeated_records(panel):
+    """Animals with multiple records: W'W counts > 1 must be handled."""
+    _, _, _, _, _, hinv, hinv_d = panel
+    rng = np.random.default_rng(5)
+    obs_ids = np.concatenate([np.arange(1, 61), np.arange(1, 31)])
+    y = rng.standard_normal(len(obs_ids))
+    res = ss.ssgblup(y, hinv, obs_ids=obs_ids, h2=0.5, tol=1e-7,
+                     maxiter=5000)
+    n_obs = len(y)
+    w = np.zeros((n_obs, N_ANIM))
+    w[np.arange(n_obs), obs_ids - 1] = 1.0
+    x = np.ones((n_obs, 1))
+    mme = np.vstack([
+        np.column_stack([x.T @ x, x.T @ w]),
+        np.column_stack([w.T @ x, w.T @ w + 1.0 * hinv_d]),
+    ])
+    z = np.linalg.solve(mme, np.concatenate([x.T @ y, w.T @ y]))
+    assert np.abs(res.u - z[1:]).max() / np.abs(z[1:]).max() < 5e-3
