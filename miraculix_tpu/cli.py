@@ -262,6 +262,15 @@ def cmd_gblup(args) -> int:
                      estimate_h2=args.estimate_h2)
 
 
+def cmd_ssgblup(args) -> int:
+    from .ssgblup import run_ssgblup  # lazy import
+
+    return run_ssgblup(args.bed, args.pedigree, pheno_path=args.pheno,
+                       out=args.out, h2=args.h2, blend=args.blend,
+                       tau=args.tau, omega=args.omega, tol=args.tol,
+                       no_inbreeding=args.no_inbreeding)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="miraculix_tpu",
                                 description=__doc__.splitlines()[0])
@@ -342,6 +351,26 @@ def main(argv=None) -> int:
     g.add_argument("--tol", type=float, default=1e-4,
                    help="CG convergence tolerance")
 
+    ss = sub.add_parser("ssgblup", help="single-step GBLUP: pedigree + "
+                        "partial genotyping, matrix-free H^-1 MME")
+    ss.add_argument("bed", help="PLINK fileset of the GENOTYPED animals "
+                    "(.fam IID = pedigree label)")
+    ss.add_argument("--pedigree", required=True,
+                    help="animal sire dam per line (0/NA = unknown)")
+    ss.add_argument("--pheno", default=None,
+                    help="two-column file: animal label, value (any "
+                         "pedigree animal); default = .fam phenotypes")
+    ss.add_argument("-o", "--out", default="ebv.tsv")
+    ss.add_argument("--h2", type=float, default=0.5)
+    ss.add_argument("--blend", type=float, default=0.05,
+                    help="identity fraction mixed into G")
+    ss.add_argument("--tau", type=float, default=1.0)
+    ss.add_argument("--omega", type=float, default=1.0)
+    ss.add_argument("--tol", type=float, default=1e-5)
+    ss.add_argument("--no-inbreeding", action="store_true",
+                    help="classical A^-1 rules (skip Meuwissen-Luo F; "
+                         "faster init on very large pedigrees)")
+
     args = p.parse_args(argv)
     return {
         "info": cmd_info,
@@ -353,6 +382,7 @@ def main(argv=None) -> int:
         "gwas": cmd_gwas,
         "ingest": cmd_ingest,
         "gblup": cmd_gblup,
+        "ssgblup": cmd_ssgblup,
     }[args.cmd](args)
 
 

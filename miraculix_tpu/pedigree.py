@@ -176,6 +176,70 @@ def simulate_pedigree(
     return sire, dam
 
 
+def read_pedigree(path: str):
+    """Read a whitespace-separated pedigree file (animal, sire, dam per
+    line; '0', 'NA', '.', '-' or empty = unknown parent; '#' comments) with
+    ARBITRARY string labels, and recode to the 1..n parents-first
+    convention by a stable topological sort (file order preserved where
+    the pedigree allows).  Parents that never appear as animals are added
+    as founders.  Returns ``(sire, dam, labels)`` where ``labels[i]`` is
+    the original label of recoded animal i+1.  Raises on cycles and on
+    animals listed twice with conflicting parents."""
+    missing = {"0", "NA", "na", ".", "-", ""}
+    parents = {}
+    order = []
+    with open(path) as fh:
+        for lineno, ln in enumerate(fh, 1):
+            ln = ln.split("#", 1)[0].strip()
+            if not ln:
+                continue
+            parts = ln.split()
+            if len(parts) < 3:
+                raise ValueError(f"{path}:{lineno}: need animal sire dam")
+            a, s, d = parts[0], parts[1], parts[2]
+            s = None if s in missing else s
+            d = None if d in missing else d
+            if a in parents and parents[a] != (s, d):
+                raise ValueError(f"{path}:{lineno}: animal {a!r} listed "
+                                 "twice with different parents")
+            if a not in parents:
+                order.append(a)
+            parents[a] = (s, d)
+    for a in list(parents):
+        for p in parents[a]:
+            if p is not None and p not in parents:
+                parents[p] = (None, None)
+                order.append(p)
+    # Kahn's algorithm, stable in file order
+    n = len(order)
+    children = {a: [] for a in order}
+    indeg = {a: 0 for a in order}
+    for a, (s, d) in parents.items():
+        for p in (s, d):
+            if p is not None:
+                children[p].append(a)
+                indeg[a] += 1
+    from collections import deque
+    ready = deque(a for a in order if indeg[a] == 0)
+    labels = []
+    while ready:
+        a = ready.popleft()
+        labels.append(a)
+        for c in children[a]:
+            indeg[c] -= 1
+            if indeg[c] == 0:
+                ready.append(c)
+    if len(labels) != n:
+        cyc = [a for a in order if indeg[a] > 0]
+        raise ValueError(f"pedigree has a cycle involving {cyc[:5]}")
+    code = {a: i + 1 for i, a in enumerate(labels)}
+    sire = np.array([code[parents[a][0]] if parents[a][0] else 0
+                     for a in labels], np.int64)
+    dam = np.array([code[parents[a][1]] if parents[a][1] else 0
+                    for a in labels], np.int64)
+    return sire, dam, labels
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _spmv(rows, cols, vals, v, n):
     return jax.ops.segment_sum(vals[:, None] * v[cols], rows,

@@ -229,3 +229,86 @@ def ssgblup(
     z = np.asarray(res.x, np.float64) * scale
     return SSGBLUPResult(z[:p], z[p:], int(res.iterations),
                          float(jnp.max(res.residual_norm)) * scale)
+
+
+def run_ssgblup(bed_path: str, pedigree_path: str,
+                pheno_path: Optional[str] = None, out: str = "ebv.tsv",
+                h2: float = 0.5, blend: float = 0.05, tau: float = 1.0,
+                omega: float = 1.0, tol: float = 1e-5,
+                inner_tol: float = 1e-6, no_inbreeding: bool = False) -> int:
+    """CLI entry: single-step evaluation from files.
+
+    - ``bed_path``: PLINK fileset of the GENOTYPED animals; the .fam
+      within-family id (column 2) must match the pedigree labels.
+    - ``pedigree_path``: animal/sire/dam per line, arbitrary labels
+      (:func:`pedigree.read_pedigree`); genotyped animals absent from the
+      file are appended as founders (warned).
+    - ``pheno_path``: two-column file (animal label, value) — phenotypes
+      may cover ANY pedigree animal, genotyped or not.  Defaults to the
+      .fam 6th column (genotyped animals only; -9 = missing).
+
+    Writes a TSV of EBVs for every pedigree animal.
+    """
+    from .geno import from_bed
+    from .pedigree import read_pedigree
+
+    sire, dam, labels = read_pedigree(pedigree_path)
+    g = from_bed(bed_path)
+    with open(bed_path[:-4] + ".fam") as fh:
+        fam = [ln.split() for ln in fh if ln.strip()]
+    iids = [f[1] for f in fam]
+    if len(iids) != g.indiv:
+        raise SystemExit(f".fam has {len(iids)} animals, panel {g.indiv}")
+
+    code = {lab: i + 1 for i, lab in enumerate(labels)}
+    extra = [iid for iid in iids if iid not in code]
+    if extra:
+        print(f"warning: {len(extra)} genotyped animals missing from the "
+              f"pedigree — appended as founders (e.g. {extra[:3]})")
+        n0 = len(labels)
+        labels = labels + extra
+        sire = np.concatenate([sire, np.zeros(len(extra), np.int64)])
+        dam = np.concatenate([dam, np.zeros(len(extra), np.int64)])
+        code.update({lab: n0 + i + 1 for i, lab in enumerate(extra)})
+    geno_ids = np.array([code[iid] for iid in iids], np.int64)
+
+    if pheno_path:
+        obs_l, y_l = [], []
+        with open(pheno_path) as fh:
+            for lineno, ln in enumerate(fh, 1):
+                ln = ln.split("#", 1)[0].strip()
+                if not ln:
+                    continue
+                a, v = ln.split()[:2]
+                if a not in code:
+                    raise SystemExit(f"{pheno_path}:{lineno}: animal {a!r} "
+                                     "not in the pedigree")
+                obs_l.append(code[a])
+                y_l.append(float(v))
+        obs_ids = np.array(obs_l, np.int64)
+        y = np.array(y_l)
+    else:
+        y_all = np.array([f[5] for f in fam], np.float64)
+        keep = y_all != -9
+        if not keep.any():
+            raise SystemExit("no phenotypes: .fam column 6 is all -9 and "
+                             "no --pheno file given")
+        obs_ids = geno_ids[keep]
+        y = y_all[keep]
+    print(f"{len(labels)} pedigree animals, {g.indiv} genotyped, "
+          f"{len(y)} records")
+
+    f = np.zeros(len(labels)) if no_inbreeding else None
+    hinv = SingleStepHInv(sire, dam, g, geno_ids, blend=blend, tau=tau,
+                          omega=omega, inner_tol=inner_tol, f=f)
+    res = ssgblup(y, hinv, obs_ids=obs_ids, h2=h2, tol=tol)
+    with open(out, "w") as fh:
+        fh.write("animal\tebv\tgenotyped\n")
+        gset = set(geno_ids.tolist())
+        for i, lab in enumerate(labels):
+            fh.write(f"{lab}\t{res.u[i]:.6g}\t{int(i + 1 in gset)}\n")
+    print(f"wrote {out}: EBVs for {len(labels)} animals "
+          f"(outer CG iterations: {res.iterations}, "
+          f"residual {res.residual_norm:.2e})")
+    print(f"fixed effects: {np.round(res.beta, 4)}")
+    return 0

@@ -79,3 +79,48 @@ def test_sparse_coo_matvec_and_diag():
     d12 = sp12.to_dense()
     got_t = np.asarray(sp12.matvec(x, trans="t"))
     np.testing.assert_allclose(got_t, d12.T @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_read_pedigree_recodes_and_sorts(tmp_path):
+    """Arbitrary labels, out-of-order lines, implicit founders, comments,
+    NA conventions — the reader must land on a valid parents-first coding
+    that reproduces the same A matrix as a hand-coded pedigree."""
+    ped_file = tmp_path / "ped.txt"
+    ped_file.write_text(
+        "# toy pedigree\n"
+        "calf1  bullA  cowB\n"          # parents defined BELOW / implicitly
+        "calf2  bullA  NA\n"
+        "cowB   .      0\n"
+        "calf3  calf1  cowB\n"
+    )
+    sire, dam, labels = ped.read_pedigree(str(ped_file))
+    n = len(labels)
+    assert n == 5  # bullA added as implicit founder
+    ped.check_pedigree(sire, dam)  # parents-first holds
+    code = {lab: i + 1 for i, lab in enumerate(labels)}
+    # relationships must match the hand-coded equivalent:
+    # 1=bullA 2=cowB 3=calf1(1,2) 4=calf2(1,0) 5=calf3(3,2)
+    hs = np.array([0, 0, 1, 1, 3])
+    hd = np.array([0, 0, 2, 0, 2])
+    a_hand = ped.a_matrix(hs, hd)
+    a_got = ped.a_matrix(sire, dam)
+    perm = np.array([code[x] - 1 for x in
+                     ["bullA", "cowB", "calf1", "calf2", "calf3"]])
+    np.testing.assert_allclose(a_got[np.ix_(perm, perm)], a_hand,
+                               atol=1e-12)
+
+
+def test_read_pedigree_rejects_cycle(tmp_path):
+    f = tmp_path / "cyc.txt"
+    f.write_text("a b 0\nb a 0\n")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="cycle"):
+        ped.read_pedigree(str(f))
+
+
+def test_read_pedigree_rejects_conflict(tmp_path):
+    f = tmp_path / "dup.txt"
+    f.write_text("a 0 0\nb a 0\nb 0 0\n")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="twice"):
+        ped.read_pedigree(str(f))

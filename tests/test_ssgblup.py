@@ -138,3 +138,47 @@ def test_ssgblup_repeated_records(panel):
     ])
     z = np.linalg.solve(mme, np.concatenate([x.T @ y, w.T @ y]))
     assert np.abs(res.u - z[1:]).max() / np.abs(z[1:]).max() < 5e-3
+
+
+def test_run_ssgblup_cli_path(tmp_path):
+    """File-driven single-step: pedigree file with string labels, .bed of
+    the genotyped subset, separate phenotype file covering non-genotyped
+    animals too."""
+    from miraculix_tpu.ssgblup import run_ssgblup
+
+    rng = np.random.default_rng(7)
+    sire, dam = ped.simulate_pedigree(80, n_founders=12, seed=6)
+    labels = [f"an{i+1}" for i in range(80)]
+    pedf = tmp_path / "ped.txt"
+    with open(pedf, "w") as fh:
+        for i in range(80):
+            fh.write(f"{labels[i]} "
+                     f"{labels[sire[i]-1] if sire[i] else 'NA'} "
+                     f"{labels[dam[i]-1] if dam[i] else 'NA'}\n")
+
+    geno_idx = np.arange(40, 80)  # 0-based pedigree positions genotyped
+    geno = bed.simulate_genotypes(40, 300, seed=2)
+    bedp = str(tmp_path / "g.bed")
+    bed.write_bed(bedp, geno)
+    # rewrite .fam IIDs to the pedigree labels
+    fam = open(bedp[:-4] + ".fam").read().splitlines()
+    with open(bedp[:-4] + ".fam", "w") as fh:
+        for k, ln in enumerate(fam):
+            parts = ln.split()
+            parts[1] = labels[geno_idx[k]]
+            fh.write(" ".join(parts) + "\n")
+
+    phenf = tmp_path / "pheno.txt"
+    with open(phenf, "w") as fh:
+        for i in range(60):  # records on animals 1..60 (mostly ungenotyped)
+            fh.write(f"{labels[i]} {rng.standard_normal():.5f}\n")
+
+    out = str(tmp_path / "ebv.tsv")
+    rc = run_ssgblup(bedp, str(pedf), pheno_path=str(phenf), out=out,
+                     h2=0.4, tol=1e-6)
+    assert rc == 0
+    lines = open(out).read().splitlines()
+    assert len(lines) == 81  # header + every pedigree animal
+    got = {ln.split("\t")[0]: ln.split("\t") for ln in lines[1:]}
+    assert sum(int(v[2]) for v in got.values()) == 40  # genotyped flags
+    assert all(np.isfinite(float(v[1])) for v in got.values())
