@@ -74,6 +74,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if hasattr(lib, "mx_bed_colstats"):
             i64p = ctypes.POINTER(ctypes.c_int64)
             lib.mx_bed_colstats.argtypes = [u8p, i64, i64, i64p, i64p]
+        if hasattr(lib, "mx_inbreeding"):
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.mx_inbreeding.argtypes = [i64p, i64p, i64, f64p]
         lib.mx_codec_version.restype = ctypes.c_int
         _lib = lib
         return _lib

@@ -47,7 +47,35 @@ def inbreeding(sire: np.ndarray, dam: np.ndarray) -> np.ndarray:
     """Inbreeding coefficients F[0..n-1] by Meuwissen & Luo (1992):
     a_ii = sum_j L_ij^2 * D_j over the ancestors j of i, tracing each
     animal's ancestor paths once (no n x n table).  Unknown parents are
-    founders (F contribution -1 via the D convention below)."""
+    founders (F contribution -1 via the D convention below).
+
+    Dispatches to the native C++ implementation when available (identical
+    algorithm + full-sib memoization; the Python loop below is the tested
+    oracle).  Cost is O(sum of ancestor-set sizes): cheap for real
+    pedigrees (bounded depth, large sib groups, unknown-parent founders),
+    but a fully-interconnected deep pedigree degrades toward O(n^2) —
+    at that scale pass ``f=np.zeros(n)`` to :func:`a_inverse` (classical
+    no-inbreeding rules) or supply F from a dedicated tool."""
+    n = check_pedigree(sire, dam)
+    from .io.native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "mx_inbreeding"):
+        import ctypes
+        s64 = np.ascontiguousarray(sire, np.int64)
+        d64 = np.ascontiguousarray(dam, np.int64)
+        f = np.empty(n, np.float64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.mx_inbreeding(s64.ctypes.data_as(i64p),
+                          d64.ctypes.data_as(i64p),
+                          ctypes.c_int64(n), f.ctypes.data_as(f64p))
+        return f
+    return _inbreeding_py(sire, dam)
+
+
+def _inbreeding_py(sire: np.ndarray, dam: np.ndarray) -> np.ndarray:
+    """Pure-Python Meuwissen & Luo — the oracle the native path is tested
+    against (test_pedigree.py::test_native_inbreeding_matches_python)."""
     n = check_pedigree(sire, dam)
     s = np.concatenate([[0], np.asarray(sire, np.int64)])  # 1-based access
     d = np.concatenate([[0], np.asarray(dam, np.int64)])

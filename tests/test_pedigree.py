@@ -124,3 +124,18 @@ def test_read_pedigree_rejects_conflict(tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="twice"):
         ped.read_pedigree(str(f))
+
+
+def test_native_inbreeding_matches_python():
+    """The C++ Meuwissen-Luo must agree with the Python oracle to 1 ulp
+    (heap tie order differs, so bit-exactness is not guaranteed)."""
+    from miraculix_tpu.io.native import get_lib
+    if get_lib() is None:
+        import pytest as _pt
+        _pt.skip("native codec unavailable")
+    sire, dam = ped.simulate_pedigree(3000, n_founders=60, seed=12,
+                                      unknown_rate=0.08)
+    f_native = ped.inbreeding(sire, dam)
+    f_py = ped._inbreeding_py(sire, dam)
+    np.testing.assert_allclose(f_native, f_py, atol=1e-12)
+    assert f_native.max() > 0.01
