@@ -257,7 +257,7 @@ def cmd_gblup(args) -> int:
     from .gblup import run_gblup  # lazy import
 
     return run_gblup(args.bed, h2=args.h2, pcs=args.pcs, solver=args.solver,
-                     h2_method=args.h2_method,
+                     h2_method=args.h2_method, maxiter=args.maxiter,
                      stream_chunk=args.stream_chunk, tol=args.tol,
                      estimate_h2=args.estimate_h2)
 
@@ -350,6 +350,9 @@ def main(argv=None) -> int:
                         "path (0 = in-memory GenoMatrix)")
     g.add_argument("--tol", type=float, default=1e-4,
                    help="CG convergence tolerance")
+    g.add_argument("--maxiter", type=int, default=2000,
+                   help="CG iteration cap (bound the wall time of "
+                        "host-streamed out-of-core solves)")
 
     ss = sub.add_parser("ssgblup", help="single-step GBLUP: pedigree + "
                         "partial genotyping, matrix-free H^-1 MME")

@@ -248,7 +248,8 @@ def simulate_phenotypes(
 def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
               solver: str = "cg", stream_chunk: int = 0,
               tol: float = 1e-4, verbose: bool = False,
-              estimate_h2: bool = False, h2_method: str = "he") -> int:
+              estimate_h2: bool = False, h2_method: str = "he",
+              maxiter: int = 2000) -> int:
     """CLI entry: full pipeline on a .bed fileset; phenotypes from the .fam
     6th column when present, else simulated with known breeding values.
 
@@ -311,7 +312,7 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
         h2 = min(max(h2_hat, 0.01), 0.99)
 
     res = gblup(g, y, h2=h2, n_pcs=pcs, solver=solver, tol=tol,
-                verbose=verbose or stream_chunk > 0)
+                maxiter=maxiter, verbose=verbose or stream_chunk > 0)
     print(f"beta: {np.round(res.beta[:3], 4)}... "
           f"(CG iterations: {res.cg_iterations})")
     if bv_true is not None:
