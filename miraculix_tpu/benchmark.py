@@ -509,6 +509,63 @@ def bench_sparse_solve(n: int = 1_000_000, avg_offdiag: int = 9,
     }
 
 
+def bench_ssgblup(n_anim: int = 200_000, n_geno: int = 20_000,
+                  snps: int = 65_536, reps: int = 3) -> dict:
+    """Single-step GBLUP at production pedigree scale: WALL time of the
+    one-XLA-program MME solve (nested while_loop CGs — see docs/design.md
+    §12) plus the host-side init splits (A^-1 build, inbreeding).  The
+    reference ecosystem runs this workload as MiXBLUP calling the sparse
+    solver + packed GEMM; here it is one framework call."""
+    import statistics
+
+    from .geno import from_dense
+    from .io import bed
+    from . import pedigree as ped
+    from . import ssgblup as ssb
+
+    t0 = time.time()
+    sire, dam = ped.simulate_pedigree(n_anim, n_founders=n_anim // 100,
+                                      seed=3)
+    t_ped = time.time() - t0
+    geno_ids = np.arange(n_anim - n_geno, n_anim) + 1
+    g = bed.simulate_genotypes(n_geno, snps, seed=11)
+    gm = from_dense(g)
+    rng = np.random.default_rng(1)
+    obs_ids = np.arange(1, n_anim - n_geno + 1)
+    y = 2.0 + rng.standard_normal(len(obs_ids))
+
+    # deep random pedigrees make exact Meuwissen-Luo ancestor sets explode
+    # (docs/design.md §12); production benchmarking uses classical rules
+    t0 = time.time()
+    hinv = ssb.SingleStepHInv(sire, dam, gm, geno_ids, blend=0.05,
+                              f=np.zeros(n_anim))
+    t_init = time.time() - t0
+
+    state = {}
+
+    def solve():
+        r = ssb.ssgblup(y, hinv, obs_ids=obs_ids, h2=0.4, tol=1e-5,
+                        maxiter=500)
+        state.update(iters=r.iterations, resid=r.residual_norm)
+
+    solve()  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        solve()
+        ts.append(time.time() - t0)
+    return {
+        "suite": "ssgblup",
+        "config": f"{n_anim} animals, {n_geno} genotyped x {snps} SNPs, "
+                  f"phenotypes on the non-genotyped",
+        "wall_seconds_per_solve": round(statistics.median(ts), 3),
+        "outer_cg_iterations": state.get("iters"),
+        "residual": state.get("resid"),
+        "init_seconds": round(t_init, 2),
+        "pedigree_sim_seconds": round(t_ped, 2),
+    }
+
+
 def bench_gblup_fullscale(snps: int = 1_048_576, indiv: int = 100_096,
                           chunks: int = 16, h2: float = 0.5,
                           tol: float = 1e-3, maxiter: int = 60) -> dict:
@@ -674,7 +731,8 @@ def main(argv=None) -> int:
     ap.add_argument("--suite", default="all",
                     choices=["dgemm", "dgemm_exact", "grm", "ld",
                              "sparse_solve", "solve_refined", "gwas",
-                             "gblup_fullscale", "scaling", "all"])
+                             "ssgblup", "gblup_fullscale", "scaling",
+                             "all"])
     ap.add_argument("--panels", nargs="*", default=["small"])
     ap.add_argument("--ncol", type=int, default=32)
     ap.add_argument("--sparse-n", type=int, default=1_000_000)
@@ -711,6 +769,8 @@ def main(argv=None) -> int:
         for p in args.panels:
             if p in PANELS:
                 print(json.dumps(bench_gwas(p)))
+    if args.suite == "ssgblup":
+        print(json.dumps(bench_ssgblup()))
     if args.suite == "gblup_fullscale":
         print(json.dumps(bench_gblup_fullscale()))
     if args.suite in ("scaling", "all"):
