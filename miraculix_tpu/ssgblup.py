@@ -231,6 +231,199 @@ def ssgblup(
                          float(jnp.max(res.residual_norm)) * scale)
 
 
+def _mme_solver(hinv: SingleStepHInv, obs, xj, tol: float, maxiter: int):
+    """Jitted MME solve with a TRACED lambda: C(lam) Z = RHS for a block
+    RHS, columns normalized so the absolute CG tolerance acts relatively.
+    One compiled executable serves every REML iteration."""
+    n, p = hinv.n, xj.shape[1]
+    counts = jax.ops.segment_sum(jnp.ones(obs.shape[0], jnp.float32), obs,
+                                 num_segments=n)
+    dapp = hinv.diag_approx()
+    xdiag = jnp.sum(xj * xj, axis=0)
+
+    @jax.jit
+    def solve(lam, rhs):
+        def mme(z):
+            beta, u = z[:p], z[p:]
+            fitted = xj @ beta + u[obs]
+            top = xj.T @ fitted
+            bottom = (jax.ops.segment_sum(fitted, obs, num_segments=n)
+                      + lam * hinv.matvec(u))
+            return jnp.concatenate([top, bottom])
+
+        minv = 1.0 / jnp.concatenate([xdiag, counts + lam * dapp])
+        norm = jnp.linalg.norm(rhs, axis=0, keepdims=True)
+        safe = jnp.where(norm > 0, norm, 1.0)
+        r = cg(mme, rhs / safe, tol=tol, maxiter=maxiter, minv=minv)
+        return r.x * safe, r.iterations
+
+    return solve
+
+
+def estimate_h2_reml_ss(
+    y: np.ndarray,
+    hinv: SingleStepHInv,
+    obs_ids: Optional[np.ndarray] = None,
+    x: Optional[np.ndarray] = None,
+    n_probes: int = 8,
+    probes: Optional[np.ndarray] = None,
+    max_iter: int = 30,
+    tol: float = 5e-4,
+    cg_tol: float = 1e-6,
+    cg_maxiter: int = 3000,
+    seed: int = 0,
+    init_h2: float = 0.5,
+    verbose: bool = False,
+):
+    """REML variance components for the SINGLE-STEP model — the piece the
+    reference ecosystem outsources (MiXBLUP takes variance ratios as
+    input; GCTA's --reml cannot use pedigree-only animals): stochastic
+    AI-REML on y = X beta + W u + e with var(u) = sigma_u^2 H, entirely
+    from MME solves and H^-1 matvecs.  The classical identities make every
+    term cheap (verified numerically in tests/test_ssgblup.py):
+
+        P y           = e_hat / s2e           (MME residual)
+        y'P V_u P y   = t' u_hat / s2u,  t = W' P y   (no H apply: u_hat
+                                                        = s2u * H t)
+        tr(P V_u)     = (q - lam * tr(C^uu H^-1)) / s2u
+        tr(P)         = (n - p - q + lam * tr(C^uu H^-1)) / s2e
+
+    with tr(C^uu H^-1) the ONE stochastic trace — Hutchinson probes
+    [0; z] through the MME, dotted with H^-1 z (a direct matvec, computed
+    once and reused: the probes are shared across iterations).  The AI
+    matrix is exact (quadratic forms via one extra 2-column MME solve),
+    with an EM step as fallback.  ``lam`` is traced, so all REML
+    iterations reuse two compiled nested-CG executables.
+
+    ``probes=np.eye(q)`` makes the trace exact (small problems / tests).
+    Returns ``(h2, details)`` as :func:`gblup.estimate_h2_reml`.
+    """
+    n = hinv.n
+    q = n
+    y = np.asarray(y, np.float64).reshape(-1)
+    n_obs = len(y)
+    if obs_ids is None:
+        obs_ids = np.arange(1, n_obs + 1)
+    obs_ids = np.asarray(obs_ids, np.int64)
+    if x is None:
+        x = np.ones((n_obs, 1))
+    x = np.asarray(x, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    p = x.shape[1]
+    yvar = float(y.var())
+    yt = (y - y.mean()) / max(y.std(), 1e-12)
+
+    if probes is None:
+        rng = np.random.default_rng(seed)
+        z = rng.choice((-1.0, 1.0), size=(q, n_probes))
+        exact_traces = False
+    else:
+        z = np.asarray(probes, np.float64)
+        n_probes = z.shape[1]
+        exact_traces = (z.shape[1] == q and np.array_equal(z, np.eye(q)))
+
+    obs = jnp.asarray(obs_ids - 1, jnp.int32)
+    xj = jnp.asarray(x, jnp.float32)
+    solve = _mme_solver(hinv, obs, xj, cg_tol, cg_maxiter)
+
+    # H^-1 z: lambda-independent — one batched matvec for all iterations
+    hz = np.asarray(hinv.matvec(jnp.asarray(z, jnp.float32)), np.float64)
+
+    wty = np.zeros(q)
+    np.add.at(wty, obs_ids - 1, yt)
+    rhs_y = np.concatenate([x.T @ yt, wty])
+    rhs_z = np.concatenate([np.zeros((p, n_probes)), z], axis=0)
+    block_a = jnp.asarray(np.column_stack([rhs_y, rhs_z]), jnp.float32)
+
+    s2u = float(np.clip(init_h2, 0.05, 0.95))
+    s2e = 1.0 - s2u
+    floor = 1e-6
+    converged = False
+    cg_total = 0
+    ai = np.eye(2)
+    for it in range(max_iter):
+        lam = s2e / s2u
+        sol, iters = solve(jnp.float32(lam), block_a)
+        sol = np.asarray(sol, np.float64)
+        cg_total += int(iters)
+        beta, u = sol[:p, 0], sol[p:, 0]
+        su = sol[p:, 1:]                       # (C^-1 [0; z])_u
+        if exact_traces:
+            # z = I: hz = H^-1, su = C^uu, both symmetric ->
+            # tr(H^-1 C^uu) = sum_ij (H^-1)_ij (C^uu)_ij
+            tr_ch = float(np.sum(hz * su))
+        else:
+            tr_ch = float(np.mean(np.sum(hz * su, axis=0)))
+        ehat = yt - x @ beta - u[obs_ids - 1]
+        py = ehat / s2e
+        wtpy = np.zeros(q)
+        np.add.at(wtpy, obs_ids - 1, py)
+        quad_u = float(wtpy @ u) / s2u
+        quad_e = float(py @ py)
+        tr_u = (q - lam * tr_ch) / s2u
+        tr_e = (n_obs - p - q + lam * tr_ch) / s2e
+        score = np.array([-0.5 * (tr_u - quad_u), -0.5 * (tr_e - quad_e)])
+
+        r_u = u[obs_ids - 1] / s2u             # W u_hat / s2u = V_u P y
+        r_e = py
+        rhs_b = np.zeros((p + q, 2))
+        rhs_b[:p, 0] = x.T @ r_u
+        np.add.at(rhs_b[p:, 0], obs_ids - 1, r_u)
+        rhs_b[:p, 1] = x.T @ r_e
+        np.add.at(rhs_b[p:, 1], obs_ids - 1, r_e)
+        solb, itb = solve(jnp.float32(lam), jnp.asarray(rhs_b, jnp.float32))
+        solb = np.asarray(solb, np.float64)
+        cg_total += int(itb)
+        pr = np.empty((n_obs, 2))
+        for k, r in enumerate((r_u, r_e)):
+            pr[:, k] = (r - x @ solb[:p, k]
+                        - solb[p:, k][obs_ids - 1]) / s2e
+        ai = 0.5 * np.array([
+            [r_u @ pr[:, 0], r_u @ pr[:, 1]],
+            [r_e @ pr[:, 0], r_e @ pr[:, 1]],
+        ])
+        ai = 0.5 * (ai + ai.T)
+
+        theta = np.array([s2u, s2e])
+        try:
+            new = theta + np.linalg.solve(ai, score)
+        except np.linalg.LinAlgError:
+            new = np.array([np.nan, np.nan])
+        if not np.all(np.isfinite(new)) or (new < floor).any() or \
+                new.sum() > 10.0:
+            # EM step: theta_i += theta_i^2 (quad_i - tr_i) / df_i
+            new = theta + theta ** 2 * np.array(
+                [(quad_u - tr_u) / q, (quad_e - tr_e) / n_obs])
+            new = np.clip(new, floor, 10.0)
+        step = float(np.abs(new - theta).max() / max(new.sum(), 1e-12))
+        s2u, s2e = float(new[0]), float(new[1])
+        if verbose:
+            print(f"  ss-reml iter {it + 1}: s2u={s2u:.4f} s2e={s2e:.4f} "
+                  f"score=({score[0]:+.3e},{score[1]:+.3e}) "
+                  f"step={step:.2e}", flush=True)
+        if step < tol:
+            converged = True
+            break
+
+    h2 = s2u / (s2u + s2e)
+    se_h2 = float("nan")
+    try:
+        cov_theta = np.linalg.inv(ai)
+        grad = np.array([s2e, -s2u]) / (s2u + s2e) ** 2
+        v = float(grad @ cov_theta @ grad)
+        se_h2 = float(np.sqrt(v)) if v > 0 else float("nan")
+    except np.linalg.LinAlgError:
+        pass
+    return float(h2), {
+        "s2u": s2u, "s2e": s2e,
+        "vu": s2u * yvar, "ve": s2e * yvar,
+        "se_h2": se_h2, "iterations": it + 1, "converged": converged,
+        "cg_iterations": cg_total, "n_probes": n_probes,
+        "exact_traces": exact_traces,
+    }
+
+
 def run_ssgblup(bed_path: str, pedigree_path: str,
                 pheno_path: Optional[str] = None, out: str = "ebv.tsv",
                 h2: float = 0.5, blend: float = 0.05, tau: float = 1.0,

@@ -182,3 +182,70 @@ def test_run_ssgblup_cli_path(tmp_path):
     got = {ln.split("\t")[0]: ln.split("\t") for ln in lines[1:]}
     assert sum(int(v[2]) for v in got.values()) == 40  # genotyped flags
     assert all(np.isfinite(float(v[1])) for v in got.values())
+
+
+def _ss_profiled_reml_argmax(hinv_pieces, y, obs_ids, grid):
+    """Dense REML oracle for the single-step model: restricted profiled
+    log-likelihood of V(h2) = h2*W H W' + (1-h2)*I over a grid (intercept
+    fixed effect, total variance profiled out)."""
+    h_dense, n_anim = hinv_pieces
+    n_obs = len(y)
+    w = np.zeros((n_obs, n_anim))
+    w[np.arange(n_obs), obs_ids - 1] = 1.0
+    whw = w @ h_dense @ w.T
+    yt = (y - y.mean()) / y.std()
+    xo = np.ones((n_obs, 1))
+
+    def logl(h2):
+        v = h2 * whw + (1 - h2) * np.eye(n_obs)
+        vi = np.linalg.inv(v)
+        xtvx = xo.T @ vi @ xo
+        beta = np.linalg.solve(xtvx, xo.T @ vi @ yt)
+        r = yt - xo @ beta
+        ypy = float(r @ vi @ yt)
+        st = ypy / (n_obs - 1)
+        return -0.5 * ((n_obs - 1) * np.log(st)
+                       + np.linalg.slogdet(v)[1]
+                       + np.linalg.slogdet(xtvx)[1])
+
+    ll = np.array([logl(h) for h in grid])
+    return float(grid[ll.argmax()])
+
+
+@pytest.fixture(scope="module")
+def ss_reml_panel(panel):
+    """Phenotypes simulated under the single-step model itself (u drawn
+    with cov H) so the REML optimum is interior."""
+    sire, dam, geno_ids, geno, gm, hinv, hinv_d = panel
+    h_dense = np.linalg.inv(hinv_d)
+    rng = np.random.default_rng(17)
+    # u ~ N(0, 0.6 H): exact draw from the dense H (test scale only)
+    lch = np.linalg.cholesky(h_dense + 1e-8 * np.eye(N_ANIM))
+    u = np.sqrt(0.6) * (lch @ rng.standard_normal(N_ANIM))
+    obs_ids = np.arange(1, 101)
+    y = 1.5 + u[obs_ids - 1] + np.sqrt(0.4) * rng.standard_normal(100)
+    h2_exact = _ss_profiled_reml_argmax(
+        (h_dense, N_ANIM), y, obs_ids, np.linspace(0.02, 0.98, 481))
+    return hinv, h_dense, y, obs_ids, h2_exact
+
+
+def test_ss_reml_exact_probes(ss_reml_panel):
+    """Identity probes: the stochastic trace becomes exact, so the AI-REML
+    fixed point must land on the dense profiled-likelihood argmax."""
+    hinv, _, y, obs_ids, h2_exact = ss_reml_panel
+    h2, det = ss.estimate_h2_reml_ss(y, hinv, obs_ids=obs_ids,
+                                     probes=np.eye(N_ANIM), cg_tol=1e-7)
+    assert det["exact_traces"] and det["converged"], det
+    assert abs(h2 - h2_exact) < 0.015, (h2, h2_exact)
+    assert np.isfinite(det["se_h2"]) and det["se_h2"] > 0
+
+
+def test_ss_reml_stochastic(ss_reml_panel):
+    hinv, _, y, obs_ids, h2_exact = ss_reml_panel
+    h2, det = ss.estimate_h2_reml_ss(y, hinv, obs_ids=obs_ids, n_probes=16,
+                                     seed=5, cg_tol=1e-6)
+    assert det["converged"], det
+    assert abs(h2 - h2_exact) < 0.10, (h2, h2_exact)
+    np.testing.assert_allclose(det["vu"] + det["ve"],
+                               y.var() * (det["s2u"] + det["s2e"]),
+                               rtol=1e-12)
