@@ -138,6 +138,15 @@ def cmd_grm(args) -> int:
         out = grm_blocked(args.bed, row_block=args.row_block)
     else:
         out = np.asarray(grm(from_bed(args.bed)))
+    if args.gcta_out:
+        from .io.grm_io import write_gcta_grm
+
+        with open(args.bed[:-4] + ".fam") as fh:
+            ids = [tuple(ln.split()[:2]) for ln in fh if ln.strip()]
+        n_snps = sum(1 for _ in open(args.bed[:-4] + ".bim"))
+        write_gcta_grm(args.gcta_out, out, n_snps, ids=ids)
+        print(f"wrote {args.gcta_out}.grm.bin/.grm.N.bin/.grm.id "
+              f"(GCTA format, {out.shape[0]} ids)")
     np.save(args.out, out)
     print(f"wrote {args.out}: {out.shape[0]}^2 GRM")
     return 0
@@ -307,6 +316,9 @@ def main(argv=None) -> int:
     gr.add_argument("--blocked", action="store_true",
                     help="out-of-core (GRM larger than device memory)")
     gr.add_argument("--row-block", type=int, default=8192)
+    gr.add_argument("--gcta-out", default=None, metavar="PREFIX",
+                    help="also write PREFIX.grm.bin/.grm.N.bin/.grm.id "
+                         "(GCTA binary GRM, consumed by gcta --reml etc.)")
 
     w = sub.add_parser("gwas")
     w.add_argument("bed")
