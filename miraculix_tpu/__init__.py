@@ -14,8 +14,8 @@ from .options import Options, get_global_options, set_global_options
 from .ops.dgemm import dgemm, packed_matmul
 from .gwas import (GWASResult, MixedGWASResult, gwas_linear,
                    gwas_logistic, gwas_mixed)
-from .ops.grm import (grm, grm_blocked, ld, ld_blocked,
-                      ld_prune, ld_windowed, snp_crossprod)
+from .ops.grm import (dominance_grm, grm, grm_blocked, ld,
+                      ld_blocked, ld_prune, ld_windowed, snp_crossprod)
 from .streamed import StreamedGeno
 # NB: like gblup, the ssgblup SOLVER stays at miraculix_tpu.ssgblup.ssgblup
 # (re-exporting the function would shadow the submodule)
@@ -29,6 +29,7 @@ __all__ = [
     "Options",
     "StreamedGeno",
     "dgemm",
+    "dominance_grm",
     "from_bed",
     "from_dense",
     "from_plink",

@@ -702,3 +702,48 @@ def ld_blocked(
     out /= sigma[None, :]
     out /= sigma[:, None]
     return out
+
+
+def dominance_grm(
+    g,
+    scale: bool = True,
+    dtype=jnp.float32,
+    interpret: Optional[bool] = None,
+    **tiles,
+) -> jax.Array:
+    """Genotypic dominance relationship matrix (Su et al. 2012, the GCTA
+    ``--make-grm-d`` family):
+
+        D = (H - hbar)(H - hbar)' / sum_s 2 p q (1 - 2 p q)
+
+    with H the heterozygote indicator panel 1[z == 1] and p the additive
+    allele frequencies.  Beyond-parity: the reference computes additive
+    relationship matrices only (crossproduct.jl:83-110).  Because H is
+    itself a valid {0, 1} genotype panel, the packed int8 MXU crossprod
+    machinery applies UNCHANGED: the het panel's own frequency cache is
+    exactly hbar/2, so the standard 2f-centering produces (H - hbar).
+    Missing genotypes are packed as 0, i.e. treated as non-het (mean
+    imputation on the dominance scale).
+
+    Accepts a dense genotype matrix or a GenoMatrix (decoded host-side
+    once to build the het panel).
+    """
+    import numpy as np
+
+    from ..geno import from_dense
+    from ..io import codec
+
+    if isinstance(g, GenoMatrix):
+        dense = codec.unpack_planar16(np.asarray(g.zq_n), g.indiv, g.snps)
+        p = np.asarray(g.freq, np.float64)
+    else:
+        dense = np.asarray(g, np.uint8)
+        p = codec.allele_freq(dense, axis=0)
+    het = (dense == 1).astype(np.uint8)
+    hm = from_dense(het)
+    d = grm(hm, scale=False, dtype=dtype, interpret=interpret, **tiles)
+    if scale:
+        pq = 2.0 * p * (1.0 - p)
+        denom = float(np.sum(pq * (1.0 - pq)))
+        d = d / jnp.asarray(max(denom, 1e-30), dtype)
+    return d

@@ -182,3 +182,38 @@ def test_ld_prune_invariants(rng):
         hi = min(s + 1 + w, 400)
         part = np.arange(s + 1, hi)
         assert not (keep[part] & (band2[s, : hi - s - 1] > thr)).any()
+
+
+def test_dominance_grm_oracle():
+    """Su et al. genotypic dominance GRM == the dense float64 definition,
+    from both dense input and the packed GenoMatrix."""
+    from miraculix_tpu.ops.grm import dominance_grm
+
+    g = bed.simulate_genotypes(96, 700, seed=13)
+    het = (g == 1).astype(np.float64)
+    hc = het - het.mean(axis=0, keepdims=True)
+    p = g.mean(axis=0) / 2.0
+    pq = 2.0 * p * (1.0 - p)
+    want = (hc @ hc.T) / np.sum(pq * (1.0 - pq))
+
+    got_dense = np.asarray(dominance_grm(g), np.float64)
+    assert np.abs(got_dense - want).max() / np.abs(want).max() < 1e-5
+
+    gm = mx.from_dense(g)
+    got_gm = np.asarray(dominance_grm(gm), np.float64)
+    np.testing.assert_allclose(got_gm, got_dense, atol=1e-7)
+
+
+def test_dominance_grm_missing_as_nonhet():
+    from miraculix_tpu.ops.grm import dominance_grm
+
+    g = bed.simulate_genotypes(48, 300, seed=14, missing_rate=0.05)
+    gm = mx.from_dense(g)  # packs missing as 0 -> non-het
+    gz = np.where(g == 3, 0, g)
+    het = (gz == 1).astype(np.float64)
+    hc = het - het.mean(axis=0, keepdims=True)
+    p = np.asarray(gm.freq, np.float64)  # missing-aware additive freq
+    pq = 2.0 * p * (1.0 - p)
+    want = (hc @ hc.T) / np.sum(pq * (1.0 - pq))
+    got = np.asarray(dominance_grm(gm), np.float64)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
