@@ -134,7 +134,13 @@ def cmd_grm(args) -> int:
     from . import from_bed, grm
     from .ops.grm import grm_blocked
 
-    if args.blocked:
+    if args.dominance:
+        from .ops.grm import dominance_grm
+
+        if args.blocked:
+            raise SystemExit("--dominance has no blocked path yet")
+        out = np.asarray(dominance_grm(from_bed(args.bed)))
+    elif args.blocked:
         out = grm_blocked(args.bed, row_block=args.row_block)
     else:
         out = np.asarray(grm(from_bed(args.bed)))
@@ -271,6 +277,44 @@ def cmd_gblup(args) -> int:
                      estimate_h2=args.estimate_h2)
 
 
+def cmd_reml(args) -> int:
+    """Variance components / SNP heritability from a .bed fileset with
+    phenotypes in the .fam 6th column — the gcta --reml role."""
+    import numpy as np
+
+    from . import from_bed
+    from .gblup import estimate_h2_he, estimate_h2_reml
+    from .streamed import StreamedGeno
+
+    if args.stream_chunk > 0:
+        g = StreamedGeno.from_bed(args.bed, chunk_snps=args.stream_chunk)
+    else:
+        g = from_bed(args.bed)
+    with open(args.bed[:-4] + ".fam") as fh:
+        y = np.array([ln.split()[5] for ln in fh if ln.strip()], np.float64)
+    keep = y != -9
+    if not keep.all():
+        raise SystemExit(f"{int((~keep).sum())} individuals have missing "
+                         "phenotype (-9); subset the panel first")
+    if args.method == "he":
+        h2, det = estimate_h2_he(g, y)
+        print(f"HE h2 = {h2:.4f}")
+        print(f"details: {det}")
+        return 0
+    h2, det = estimate_h2_reml(g, y, n_probes=args.probes,
+                               verbose=args.verbose)
+    vy = y.var()
+    print(f"Source\tVariance\tSE-ish")
+    print(f"V(G)\t{det['vg']:.6g}")
+    print(f"V(e)\t{det['ve']:.6g}")
+    print(f"Vp\t{vy:.6g}")
+    print(f"V(G)/Vp\t{h2:.4f}\t{det['se_h2']:.4f}")
+    print(f"(AI-REML: {det['iterations']} iterations, converged="
+          f"{det['converged']}, {det['cg_iterations']} CG iterations, "
+          f"{det['n_probes']} trace probes)")
+    return 0
+
+
 def cmd_ssgblup(args) -> int:
     from .ssgblup import run_ssgblup  # lazy import
 
@@ -319,6 +363,9 @@ def main(argv=None) -> int:
     gr.add_argument("--gcta-out", default=None, metavar="PREFIX",
                     help="also write PREFIX.grm.bin/.grm.N.bin/.grm.id "
                          "(GCTA binary GRM, consumed by gcta --reml etc.)")
+    gr.add_argument("--dominance", action="store_true",
+                    help="Su (2012) genotypic dominance relationship "
+                         "matrix instead of the additive GRM")
 
     w = sub.add_parser("gwas")
     w.add_argument("bed")
@@ -366,6 +413,15 @@ def main(argv=None) -> int:
                    help="CG iteration cap (bound the wall time of "
                         "host-streamed out-of-core solves)")
 
+    rm = sub.add_parser("reml", help="variance components / h2 from .fam "
+                        "phenotypes (gcta --reml role)")
+    rm.add_argument("bed")
+    rm.add_argument("--method", choices=["reml", "he"], default="reml")
+    rm.add_argument("--probes", type=int, default=16,
+                    help="Hutchinson trace probes per AI step")
+    rm.add_argument("--stream-chunk", type=int, default=0)
+    rm.add_argument("-v", "--verbose", action="store_true")
+
     ss = sub.add_parser("ssgblup", help="single-step GBLUP: pedigree + "
                         "partial genotyping, matrix-free H^-1 MME")
     ss.add_argument("bed", help="PLINK fileset of the GENOTYPED animals "
@@ -397,6 +453,7 @@ def main(argv=None) -> int:
         "gwas": cmd_gwas,
         "ingest": cmd_ingest,
         "gblup": cmd_gblup,
+        "reml": cmd_reml,
         "ssgblup": cmd_ssgblup,
     }[args.cmd](args)
 

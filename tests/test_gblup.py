@@ -249,3 +249,31 @@ def test_estimate_h2_reml_covariates(reml_panel):
     h2_shift, _ = gblup.estimate_h2_reml(gm, y_shift, covariates=cov,
                                          n_probes=16, seed=3)
     assert abs(h2_shift - h2_base) < 0.03, (h2_shift, h2_base)
+
+
+def test_cli_reml_and_grm_dominance(tmp_path, capsys):
+    """CLI: standalone reml command (gcta --reml role) and grm --dominance."""
+    from miraculix_tpu import cli
+
+    geno = bed.simulate_genotypes(120, 600, seed=19)
+    y, _ = gblup.simulate_phenotypes(geno, h2=0.6, n_qtl=300, seed=4)
+    p = str(tmp_path / "r.bed")
+    bed.write_bed(p, geno)
+    fam = open(p[:-4] + ".fam").read().splitlines()
+    with open(p[:-4] + ".fam", "w") as fh:
+        for k, ln in enumerate(fam):
+            parts = ln.split()
+            parts[5] = f"{y[k]:.6f}"
+            fh.write(" ".join(parts) + "\n")
+
+    assert cli.main(["reml", p, "--method", "he"]) == 0
+    out = capsys.readouterr().out
+    assert "HE h2 =" in out
+    assert cli.main(["reml", p, "--probes", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "V(G)/Vp" in out and "AI-REML" in out
+
+    assert cli.main(["grm", p, "-o", str(tmp_path / "d.npy"),
+                     "--dominance"]) == 0
+    d = np.load(str(tmp_path / "d.npy"))
+    assert d.shape == (120, 120) and np.isfinite(d).all()
