@@ -85,6 +85,8 @@ class GBLUPResult:
     fitted: np.ndarray      # X beta + g_hat
     pcs: Optional[np.ndarray]
     cg_iterations: int = 0
+    u: Optional[np.ndarray] = None  # (G_s + lam I)^-1 (y - X beta):
+    # the random-effect solutions snp_effects() backsolves from
 
 
 def gblup(
@@ -222,7 +224,38 @@ def gblup(
 
     fitted = x @ beta + g_hat
     return GBLUPResult(beta=beta, g_hat=g_hat, fitted=fitted, pcs=pcs,
-                       cg_iterations=iters)
+                       cg_iterations=iters, u=u)
+
+
+def snp_effects(g, res: GBLUPResult) -> np.ndarray:
+    """Backsolve per-SNP marker effects from a GBLUP fit:
+
+        g_hat = Zc alpha,   alpha = Zc' u / sigma2
+
+    (VanRaden 2008's equivalence of GBLUP and SNP-BLUP) — one packed 't'
+    pass.  With alpha in hand, new animals are scored WITHOUT re-solving
+    (:func:`predict`) — the 'indirect predictions' deployment workflow.
+    """
+    from .ops.dgemm import dgemm
+
+    if res.u is None:
+        raise ValueError("GBLUPResult has no random-effect solutions "
+                         "(fit with solver='cg'/'refined'/'dense')")
+    a = dgemm(g, jnp.asarray(res.u[:, None], jnp.float32), trans="t",
+              center=True)
+    return np.asarray(a, np.float64)[:, 0] / float(g.sigma2)
+
+
+def predict(g_new, alpha: np.ndarray, freq_train: np.ndarray) -> np.ndarray:
+    """Score NEW animals with backsolved marker effects:
+    g_hat_new = (Z_new - 2 f_train) alpha — centering MUST use the
+    TRAINING allele frequencies, not the new panel's own."""
+    from .ops.dgemm import dgemm
+
+    c = 2.0 * np.asarray(freq_train, np.float32)
+    out = dgemm(g_new, jnp.asarray(alpha[:, None], jnp.float32), trans="n",
+                center=jnp.asarray(c))
+    return np.asarray(out, np.float64)[:, 0]
 
 
 def simulate_phenotypes(

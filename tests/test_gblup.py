@@ -277,3 +277,36 @@ def test_cli_reml_and_grm_dominance(tmp_path, capsys):
                      "--dominance"]) == 0
     d = np.load(str(tmp_path / "d.npy"))
     assert d.shape == (120, 120) and np.isfinite(d).all()
+
+
+def test_snp_effects_backsolve_and_predict(tmp_path):
+    """GBLUP == SNP-BLUP equivalence: backsolved marker effects must
+    reproduce g_hat exactly on the training panel, and score held-out
+    animals (simulated from the SAME QTL model) with positive accuracy —
+    centering with the TRAINING frequencies."""
+    rng = np.random.default_rng(23)
+    n_all, n_train, snps = 300, 220, 1500
+    geno_all = bed.simulate_genotypes(n_all, snps, seed=29)
+    # one QTL model over all animals, then split
+    y_all, bv_all = gblup.simulate_phenotypes(geno_all, h2=0.7, n_qtl=400,
+                                              seed=6)
+    tr = rng.permutation(n_all)[:n_train]
+    te = np.setdiff1d(np.arange(n_all), tr)
+    gm_tr = mx.from_dense(geno_all[tr])
+    res = gblup.gblup(gm_tr, y_all[tr], h2=0.6, n_pcs=0, tol=1e-7,
+                      maxiter=3000)
+    alpha = gblup.snp_effects(gm_tr, res)
+
+    # exact reproduction on the training panel
+    back = gblup.predict(gm_tr, alpha, np.asarray(gm_tr.freq))
+    assert np.abs(back - res.g_hat).max() < 1e-3 * np.abs(res.g_hat).max()
+
+    # held-out accuracy beats a permuted-effects null
+    gm_te = mx.from_dense(geno_all[te])
+    pred = gblup.predict(gm_te, alpha, np.asarray(gm_tr.freq))
+    acc = np.corrcoef(pred, bv_all[te])[0, 1]
+    null = np.corrcoef(gblup.predict(gm_te, rng.permutation(alpha),
+                                     np.asarray(gm_tr.freq)),
+                       bv_all[te])[0, 1]
+    assert acc > 0.3, acc
+    assert acc > null + 0.2, (acc, null)
