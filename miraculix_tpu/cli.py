@@ -244,9 +244,14 @@ def cmd_gwas(args) -> int:
               f"top hits {list(top)}")
         return 0
     if args.mixed:
-        from .gwas import gwas_mixed
+        from .gwas import gwas_mixed, gwas_mixed_loco
 
-        res = gwas_mixed(g, y, h2=args.h2)
+        if args.loco:
+            chrom = np.array([ln.split()[0] for ln in
+                              open(args.bed[:-4] + ".bim") if ln.strip()])
+            res = gwas_mixed_loco(g, y, chrom, h2=args.h2)
+        else:
+            res = gwas_mixed(g, y, h2=args.h2)
         with open(args.out, "w") as fh:
             fh.write("snp\tbeta\tchi2\tp\n")
             for i in range(len(res.beta)):
@@ -254,7 +259,8 @@ def cmd_gwas(args) -> int:
                          f"{res.p[i]:.6g}\n")
         top = np.argsort(res.p)[:5]
         print(f"wrote {args.out}: {len(res.beta)} SNPs, GRAMMAR-gamma "
-              f"{res.gamma:.3f}; top hits {list(top)}")
+              f"{res.gamma:.3f}{' (LOCO)' if args.loco else ''}; "
+              f"top hits {list(top)}")
         return 0
     res = gwas_linear(g, y)
     with open(args.out, "w") as fh:
@@ -378,6 +384,10 @@ def main(argv=None) -> int:
     w.add_argument("--mixed", action="store_true",
                    help="GRAMMAR-gamma mixed-model scan (structure-"
                         "corrected; needs the panel in memory)")
+    w.add_argument("--loco", action="store_true",
+                   help="with --mixed: leave-one-chromosome-out GRM "
+                        "(chromosomes from the .bim; proximal-"
+                        "contamination guard)")
     w.add_argument("--h2", type=float, default=0.5)
 
     l = sub.add_parser("ld")

@@ -188,3 +188,50 @@ def test_gwas_logistic_streamed_matches(tmp_path, rng):
     r_mem = gwas_logistic(mx.from_dense(g), y)
     r_str = gwas_logistic(StreamedGeno.from_bed(path, chunk_snps=256), y)
     np.testing.assert_allclose(r_str.t, r_mem.t, rtol=1e-4, atol=1e-4)
+
+
+def test_gwas_mixed_loco_matches_dense(rng):
+    """LOCO GRAMMAR-gamma vs a dense float64 per-chromosome replication,
+    and the proximal-contamination property: a strong causal SNP's own
+    statistic is LARGER under LOCO than when the GRM contains it."""
+    from miraculix_tpu.gwas import gwas_mixed, gwas_mixed_loco
+
+    r2 = np.random.default_rng(11)
+    n, s = 150, 600
+    g = bed.simulate_genotypes(n, s, seed=31)
+    chrom = np.repeat([1, 2, 3], s // 3)
+    causal = 50  # on chromosome 1
+    zc_all = g.astype(np.float64)
+    y = 1.2 * (zc_all[:, causal] - zc_all[:, causal].mean()) \
+        + r2.standard_normal(n)
+    gm = mx.from_dense(g)
+    h2 = 0.5
+    lam = (1 - h2) / h2
+
+    res = gwas_mixed_loco(gm, y, chrom, h2=h2, n_gamma_snps=40,
+                          tol=1e-8, seed=2)
+
+    # dense replication for chromosome 1
+    f = np.asarray(gm.freq, np.float64)
+    zc = g.astype(np.float64) - 2.0 * f[None, :]
+    m1 = chrom == 1
+    s2_loco = float(gm.sigma2) - float(2 * np.sum(f[m1] * (1 - f[m1])))
+    v = zc[:, ~m1] @ zc[:, ~m1].T / s2_loco + lam * np.eye(n)
+    x = np.ones((n, 1))
+    mp = np.eye(n) - x @ np.linalg.inv(x.T @ x) @ x.T
+    ystar = mp @ np.linalg.solve(v, mp @ y)
+    zf = g.astype(np.float64)
+    u_ref = zf[:, m1].T @ ystar
+    d_ref = np.einsum("ns,ns->s", zf[:, m1], mp @ zf[:, m1])
+    chi_ref = u_ref ** 2 / d_ref  # up to gamma
+    got = res.chi2[m1]
+    mask = (chi_ref > 1e-2) & (d_ref > 1e-9)
+    # same statistics up to the per-chromosome gamma scale factor
+    scale = np.median(got[mask] / chi_ref[mask])
+    assert np.abs(got[mask] / chi_ref[mask] / scale - 1).max() < 2e-2
+
+    # proximal contamination: LOCO must recover MORE causal signal
+    res_full = gwas_mixed(gm, y, h2=h2, n_gamma_snps=40, tol=1e-8, seed=2)
+    assert res.chi2[causal] > res_full.chi2[causal]
+    # and the causal SNP is the top hit under LOCO
+    assert np.argmax(res.chi2) == causal
