@@ -692,3 +692,123 @@ def estimate_h2_he(
         "numerator": num, "trace_g2_estimate": tr_g2,
         "diag_sq_sum": float((diag * diag).sum()), "n_probes": n_probes,
     }
+
+
+@dataclasses.dataclass
+class MTGBLUPResult:
+    beta: np.ndarray        # fixed effects [p, t]
+    g_hat: np.ndarray       # breeding values [n, t]
+    fitted: np.ndarray      # [n, t]
+    cg_iterations: int = 0
+
+
+def multi_trait_gblup(
+    g,
+    y: np.ndarray,
+    su: np.ndarray,
+    se: np.ndarray,
+    covariates: Optional[np.ndarray] = None,
+    tol: float = 1e-5,
+    maxiter: int = 2000,
+) -> MTGBLUPResult:
+    """Multi-trait GBLUP with KNOWN (co)variance matrices: t traits on the
+    same animals,
+
+        vec(U) ~ N(0, Su ⊗ G_s),   vec(E) ~ N(0, Se ⊗ I)
+
+    (Su/Se [t, t]: genetic and residual covariances, e.g. from univariate
+    REML h2's + literature genetic correlations).  Beyond-parity: the
+    reference pipeline is single-trait (calculate_gblup.jl).
+
+    TPU shape: the Kronecker operator never materializes —
+    (Su ⊗ G) vec(V) = vec(G V Su'), so one V-matvec is ONE batched packed
+    G-pass over all traits plus two [t, t] mixes; the GLS normal equations
+    and the BLUP are solved by a single block CG over the t*p + 1
+    stacked pages.  Jacobi preconditioning from diag(V) =
+    Su_jj * diag(G_s) + Se_jj.
+    """
+    import jax
+
+    from .solve.cg import cg, grm_diag
+
+    n = g.indiv
+    y = np.asarray(y, np.float64)
+    if y.ndim != 2 or y.shape[0] != n:
+        raise ValueError(f"y must be [indiv, traits], got {y.shape}")
+    t = y.shape[1]
+    su = np.asarray(su, np.float64)
+    se = np.asarray(se, np.float64)
+    if su.shape != (t, t) or se.shape != (t, t):
+        raise ValueError("su/se must be [t, t]")
+
+    cols = [np.ones((n, 1))]
+    if covariates is not None:
+        cov = np.asarray(covariates, np.float64)
+        cols.append(cov[:, None] if cov.ndim == 1 else cov)
+    x = np.concatenate(cols, axis=1)
+    p = x.shape[1]
+
+    gmv = _grm_matvec_of(g)
+    sigma2 = float(g.sigma2)
+    suj = jnp.asarray(su, jnp.float32)
+    sej = jnp.asarray(se, jnp.float32)
+
+    def vmat(pages):
+        """V @ pages for pages [n, t, k]: G P Su + P Se per page."""
+        flat = pages.reshape(n, -1)
+        gp = (gmv(flat) / sigma2).reshape(n, t, -1)
+        return (jnp.einsum("ntk,ts->nsk", gp, suj)
+                + jnp.einsum("ntk,ts->nsk", pages, sej))
+
+    def op(v):  # cg wants [n*t, k]
+        return vmat(v.reshape(n, t, -1)).reshape(n * t, -1)
+
+    gdiag = np.asarray(grm_diag(g, center=True), np.float64) / sigma2
+    dv = (gdiag[:, None] * np.diag(su)[None, :]
+          + np.diag(se)[None, :])                  # [n, t]
+    minv = jnp.asarray(1.0 / dv.reshape(n * t), jnp.float32)
+
+    # RHS pages: t*p fixed-effect columns (X col j in trait q, 0 elsewhere)
+    # + the observation page Y
+    k = t * p + 1
+    rhs = np.zeros((n, t, k))
+    for q in range(t):
+        for j in range(p):
+            rhs[:, q, q * p + j] = x[:, j]
+    rhs[:, :, -1] = y
+    norms = np.linalg.norm(rhs.reshape(n * t, k), axis=0)
+    norms = np.where(norms > 0, norms, 1.0)
+    res = jax.jit(lambda b: cg(op, b, tol=tol, maxiter=maxiter,
+                               minv=minv))(
+        jnp.asarray(rhs.reshape(n * t, k) / norms, jnp.float32))
+    sol = (np.asarray(res.x, np.float64) * norms).reshape(n, t, k)
+
+    vix = sol[:, :, :-1]                           # V^-1 (I⊗X) pages
+    viy = sol[:, :, -1]                            # V^-1 Y
+    # GLS: (X~' V^-1 X~) beta = X~' V^-1 y, with X~ = I_t ⊗ X
+    xtvx = np.empty((t * p, t * p))
+    xtvy = np.empty(t * p)
+    for q in range(t):
+        for j in range(p):
+            c = q * p + j
+            # row c of X~'V^-1X~: trait-q page of each V^-1(I⊗X) column
+            # dotted with X col j
+            xtvx[c] = vix[:, q, :].T @ x[:, j]
+            xtvy[c] = float(x[:, j] @ viy[:, q])
+    xtvx = 0.5 * (xtvx + xtvx.T)
+    beta = np.linalg.solve(xtvx, xtvy).reshape(t, p).T   # [p, t]
+
+    resid = y - x @ beta
+    res2 = jax.jit(lambda b: cg(op, b, tol=tol, maxiter=maxiter,
+                                minv=minv))(
+        jnp.asarray(resid.reshape(n * t, 1)
+                    / max(np.linalg.norm(resid), 1e-30), jnp.float32))
+    w = (np.asarray(res2.x, np.float64)
+         * max(np.linalg.norm(resid), 1e-30)).reshape(n, t)
+    gw = np.asarray(gmv(jnp.asarray(w, jnp.float32)),
+                    np.float64) / sigma2
+    g_hat = gw @ su                                 # (Su ⊗ G) V^-1 resid
+    fitted = x @ beta + g_hat
+    return MTGBLUPResult(beta=beta, g_hat=g_hat, fitted=fitted,
+                         cg_iterations=int(res.iterations)
+                         + int(res2.iterations))
