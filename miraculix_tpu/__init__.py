@@ -13,7 +13,7 @@ from .geno import GenoMatrix, from_bed, from_dense, from_plink, load, save
 from .options import Options, get_global_options, set_global_options
 from .ops.dgemm import dgemm, packed_matmul
 from .gwas import (GWASResult, MixedGWASResult, gwas_linear,
-                   gwas_logistic, gwas_mixed)
+                   gwas_logistic, gwas_mixed, gwas_mixed_loco)
 from .ops.grm import (dominance_grm, grm, grm_blocked, ld,
                       ld_blocked, ld_prune, ld_windowed, snp_crossprod)
 from .streamed import StreamedGeno
@@ -42,6 +42,7 @@ __all__ = [
     "gwas_linear",
     "gwas_logistic",
     "gwas_mixed",
+    "gwas_mixed_loco",
     "MixedGWASResult",
     "ld_prune",
     "ld_windowed",

@@ -740,6 +740,16 @@ def multi_trait_gblup(
     se = np.asarray(se, np.float64)
     if su.shape != (t, t) or se.shape != (t, t):
         raise ValueError("su/se must be [t, t]")
+    # NaN = missing (animal, trait) cell: the solve restricts V to the
+    # observed cells (op masks in/out, i.e. S' V_obs S on the padded
+    # grid) while the BLUP below still predicts EVERY cell — the
+    # borrow-across-traits case that motivates multi-trait models
+    mask = ~np.isnan(y)
+    if not mask.any():
+        raise ValueError("y has no observed cells")
+    mf = mask.astype(np.float64)
+    y0 = np.where(mask, y, 0.0)
+    maskj = jnp.asarray(mf, jnp.float32)[:, :, None]
 
     cols = [np.ones((n, 1))]
     if covariates is not None:
@@ -760,8 +770,9 @@ def multi_trait_gblup(
         return (jnp.einsum("ntk,ts->nsk", gp, suj)
                 + jnp.einsum("ntk,ts->nsk", pages, sej))
 
-    def op(v):  # cg wants [n*t, k]
-        return vmat(v.reshape(n, t, -1)).reshape(n * t, -1)
+    def op(v):  # cg wants [n*t, k]; zero-padded at unobserved cells
+        pages = v.reshape(n, t, -1) * maskj
+        return (vmat(pages) * maskj).reshape(n * t, -1)
 
     gdiag = np.asarray(grm_diag(g, center=True), np.float64) / sigma2
     dv = (gdiag[:, None] * np.diag(su)[None, :]
@@ -774,8 +785,8 @@ def multi_trait_gblup(
     rhs = np.zeros((n, t, k))
     for q in range(t):
         for j in range(p):
-            rhs[:, q, q * p + j] = x[:, j]
-    rhs[:, :, -1] = y
+            rhs[:, q, q * p + j] = x[:, j] * mf[:, q]
+    rhs[:, :, -1] = y0
     norms = np.linalg.norm(rhs.reshape(n * t, k), axis=0)
     norms = np.where(norms > 0, norms, 1.0)
     res = jax.jit(lambda b: cg(op, b, tol=tol, maxiter=maxiter,
@@ -798,7 +809,7 @@ def multi_trait_gblup(
     xtvx = 0.5 * (xtvx + xtvx.T)
     beta = np.linalg.solve(xtvx, xtvy).reshape(t, p).T   # [p, t]
 
-    resid = y - x @ beta
+    resid = mf * (y0 - x @ beta)
     res2 = jax.jit(lambda b: cg(op, b, tol=tol, maxiter=maxiter,
                                 minv=minv))(
         jnp.asarray(resid.reshape(n * t, 1)
