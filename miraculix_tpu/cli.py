@@ -179,11 +179,22 @@ def cmd_ld(args) -> int:
 
 def cmd_ingest(args) -> int:
     """Pack a .bed fileset once and checkpoint it (skip decode+pack on
-    reload — geno.save/load)."""
+    reload — geno.save/load).  A .vcf/.vcf.gz input is converted to a
+    sibling .bed fileset first (biallelic GT records)."""
     from . import from_bed
     from .geno import save
 
-    g = from_bed(args.bed)
+    bed_path = args.bed
+    if bed_path.endswith((".vcf", ".vcf.gz")):
+        from .io.vcf import vcf_to_bed
+
+        stem = bed_path[:-7] if bed_path.endswith(".vcf.gz") \
+            else bed_path[:-4]
+        n, s = vcf_to_bed(bed_path, stem + ".bed")
+        print(f"converted {bed_path} -> {stem}.bed "
+              f"({n} samples x {s} biallelic SNPs)")
+        bed_path = stem + ".bed"
+    g = from_bed(bed_path)
     save(args.out, g)
     print(f"wrote {args.out}: {g!r}")
     return 0

@@ -1,0 +1,98 @@
+"""Minimal VCF ingestion: biallelic GT fields -> the packed pipeline.
+
+Beyond-parity interop: the reference reads PLINK filesets only
+(read_plink.jl); VCF is the sequencing-side interchange format, so a
+panel coming off a variant-calling pipeline needs this step.  Supports
+plain and gzip/BGZF-compressed files (BGZF is a sequence of gzip
+members, which Python's gzip reads natively).
+
+Scope (documented, checked): biallelic SNPs only (others skipped with a
+count), diploid GT as the first colon-field, '/' or '|' separators,
+missing ('.') -> 3.  The parser is a per-line Python loop — fine for the
+typical "convert once, then work packed" flow; convert with
+``vcf_to_bed`` and everything downstream runs on the native .bed path.
+"""
+from __future__ import annotations
+
+import gzip
+from typing import List, Tuple
+
+import numpy as np
+
+_GT = {
+    "0/0": 0, "0|0": 0,
+    "0/1": 1, "1/0": 1, "0|1": 1, "1|0": 1,
+    "1/1": 2, "1|1": 2,
+    "./.": 3, ".|.": 3, ".": 3,
+    "0": 0, "1": 1,  # haploid calls (chrX etc.): dosage of the ALT allele
+}
+
+
+def _open(path: str):
+    with open(path, "rb") as fh:
+        magic = fh.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, "rt")
+    return open(path)
+
+
+def read_vcf(path: str):
+    """Read a VCF -> ``(geno [n_indiv, n_snps] uint8 (3 = missing),
+    sample_ids, variants)`` with ``variants`` a list of
+    ``(chrom, pos, vid, ref, alt)`` tuples.  Non-biallelic or non-SNP
+    records are skipped (reported via the returned lists' length)."""
+    samples: List[str] = []
+    cols: List[np.ndarray] = []
+    variants: List[Tuple[str, int, str, str, str]] = []
+    with _open(path) as fh:
+        for ln in fh:
+            if ln.startswith("##"):
+                continue
+            if ln.startswith("#CHROM"):
+                samples = ln.rstrip("\n").split("\t")[9:]
+                continue
+            if not ln.strip():
+                continue
+            if not samples:
+                raise ValueError(f"{path}: data line before #CHROM header")
+            parts = ln.rstrip("\n").split("\t")
+            if len(parts) < 10:
+                raise ValueError(f"{path}: record with no sample columns")
+            chrom, pos, vid, ref, alt = parts[0], parts[1], parts[2], \
+                parts[3], parts[4]
+            if "," in alt or alt in (".", ""):
+                continue  # multi-allelic / monomorphic: skip
+            fmt = parts[8]
+            gt_idx = fmt.split(":").index("GT") if fmt != "GT" else 0
+            col = np.empty(len(samples), np.uint8)
+            for i, field in enumerate(parts[9:]):
+                gt = field.split(":")[gt_idx] if gt_idx else \
+                    field.split(":", 1)[0]
+                try:
+                    col[i] = _GT[gt]
+                except KeyError:
+                    col[i] = 3  # partial calls like ./1 -> missing
+            cols.append(col)
+            variants.append((chrom, int(pos), vid, ref, alt))
+    if not cols:
+        raise ValueError(f"{path}: no usable biallelic records")
+    geno = np.stack(cols, axis=1)
+    return geno, samples, variants
+
+
+def vcf_to_bed(vcf_path: str, bed_path: str) -> Tuple[int, int]:
+    """Convert a VCF to a PLINK .bed/.bim/.fam fileset; returns
+    (n_indiv, n_snps).  The .bed then feeds the native fused ingestion
+    (from_bed / StreamedGeno) like any PLINK panel."""
+    from . import bed as bedio
+
+    geno, samples, variants = read_vcf(vcf_path)
+    bedio.write_bed(bed_path, geno)
+    with open(bed_path[:-4] + ".fam", "w") as fh:
+        for s in samples:
+            fh.write(f"{s} {s} 0 0 0 -9\n")
+    with open(bed_path[:-4] + ".bim", "w") as fh:
+        for chrom, pos, vid, ref, alt in variants:
+            name = vid if vid not in (".", "") else f"{chrom}:{pos}"
+            fh.write(f"{chrom} {name} 0 {pos} {alt} {ref}\n")
+    return geno.shape[0], geno.shape[1]
