@@ -149,7 +149,12 @@ def cmd_grm(args) -> int:
 
         with open(args.bed[:-4] + ".fam") as fh:
             ids = [tuple(ln.split()[:2]) for ln in fh if ln.strip()]
-        n_snps = sum(1 for _ in open(args.bed[:-4] + ".bim"))
+        if len(ids) != out.shape[0]:
+            raise SystemExit(f".fam has {len(ids)} ids but the GRM is "
+                             f"{out.shape[0]}^2 — refusing to write a "
+                             "desynchronized GCTA fileset")
+        n_snps = sum(1 for ln in open(args.bed[:-4] + ".bim")
+                     if ln.strip())
         write_gcta_grm(args.gcta_out, out, n_snps, ids=ids)
         print(f"wrote {args.gcta_out}.grm.bin/.grm.N.bin/.grm.id "
               f"(GCTA format, {out.shape[0]} ids)")
@@ -254,6 +259,9 @@ def cmd_gwas(args) -> int:
         print(f"wrote {args.out}: {len(res.beta)} SNPs (logistic score); "
               f"top hits {list(top)}")
         return 0
+    if args.loco and not args.mixed:
+        raise SystemExit("--loco requires --mixed (it modifies the "
+                         "mixed-model GRM, not the linear scan)")
     if args.mixed:
         from .gwas import gwas_mixed, gwas_mixed_loco
 

@@ -731,6 +731,10 @@ def multi_trait_gblup(
 
     from .solve.cg import cg, grm_diag
 
+    if not isinstance(g, GenoMatrix):
+        raise TypeError(
+            "multi_trait_gblup is single-chip for now (needs grm_diag and "
+            "a jittable matvec); materialize the panel as a GenoMatrix")
     n = g.indiv
     y = np.asarray(y, np.float64)
     if y.ndim != 2 or y.shape[0] != n:

@@ -412,10 +412,11 @@ def gwas_mixed_loco(
                      np.float64)[: g.snps]
     d = np.maximum(zsq - np.einsum("sp,pq,sq->s", a, xtx_inv, a), 0.0)
 
-    dense = codec.unpack_planar16(np.asarray(g.zq_n), n, g.snps)
+    # per-chromosome decode of just that chromosome's columns — the full
+    # dense panel would be 4x the packed bytes
+    words = np.asarray(g.zq_n)
     freq = np.asarray(g.freq, np.float64)
     sigma2 = float(g.sigma2)
-    fj = jnp.asarray(freq, jnp.float32)
 
     rng = np.random.default_rng(seed)
     u = np.zeros(g.snps)
@@ -425,8 +426,11 @@ def gwas_mixed_loco(
         mask = chrom == c
         idx = np.flatnonzero(mask)
         # chromosome panel with the FULL panel's frequencies -> exact
-        # subtraction of the two centered operators
-        g_c = from_dense(dense[:, idx], freq=freq[idx])
+        # subtraction of the two centered operators (solve_loco re-jits
+        # per distinct chromosome SHAPE; equal-sized chromosomes share
+        # one compile)
+        g_c = from_dense(codec.unpack_planar16_cols(words, n, idx),
+                         freq=freq[idx])
         s2_loco = sigma2 - float(2.0 * np.sum(freq[idx]
                                               * (1.0 - freq[idx])))
         if s2_loco <= 0:

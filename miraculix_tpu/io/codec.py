@@ -214,6 +214,21 @@ def unpack_planar16(words: np.ndarray, rows: int, cols: int) -> np.ndarray:
     return dense[:rows, :cols]
 
 
+def unpack_planar16_cols(words: np.ndarray, rows: int,
+                         col_idx: np.ndarray) -> np.ndarray:
+    """Decode SELECTED columns from planar16 words without materializing
+    the whole dense panel (which is 4x the packed bytes): column c lives
+    in word c % Kw at bit offset 2*(c // Kw).  Returns uint8
+    [rows, len(col_idx)]; missing entries were zeroed at pack time."""
+    w = np.asarray(words)
+    kw = w.shape[1]
+    c = np.asarray(col_idx, np.int64)
+    m = (c // kw).astype(np.uint32)
+    k = c % kw
+    return ((w[:rows][:, k] >> (np.uint32(2) * m)[None, :])
+            & np.uint32(3)).astype(np.uint8)
+
+
 # (RHS preparation for the packed matmul lives in ops.dgemm._reorder_rhs —
 # the kernel needs the tile-major, plane-scaled layout, not a plain
 # plane-major reshape.)

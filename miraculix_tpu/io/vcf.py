@@ -39,31 +39,45 @@ def _open(path: str):
 def read_vcf(path: str):
     """Read a VCF -> ``(geno [n_indiv, n_snps] uint8 (3 = missing),
     sample_ids, variants)`` with ``variants`` a list of
-    ``(chrom, pos, vid, ref, alt)`` tuples.  Non-biallelic or non-SNP
-    records are skipped (reported via the returned lists' length)."""
+    ``(chrom, pos, vid, ref, alt)`` tuples; genotype values are ALT-allele
+    dosages.  Non-biallelic, monomorphic, and GT-less records are skipped
+    (their count is visible as the difference from the file's record
+    count)."""
     samples: List[str] = []
+    saw_header = False
     cols: List[np.ndarray] = []
     variants: List[Tuple[str, int, str, str, str]] = []
     with _open(path) as fh:
-        for ln in fh:
+        for lineno, ln in enumerate(fh, 1):
+            ln = ln.rstrip("\r\n")  # CRLF files: \r would poison the
+            # last sample field (its GT then misses the table -> missing)
             if ln.startswith("##"):
                 continue
             if ln.startswith("#CHROM"):
-                samples = ln.rstrip("\n").split("\t")[9:]
+                samples = ln.split("\t")[9:]
+                saw_header = True
                 continue
             if not ln.strip():
                 continue
+            if not saw_header:
+                raise ValueError(f"{path}:{lineno}: data line before "
+                                 "#CHROM header")
             if not samples:
-                raise ValueError(f"{path}: data line before #CHROM header")
-            parts = ln.rstrip("\n").split("\t")
-            if len(parts) < 10:
-                raise ValueError(f"{path}: record with no sample columns")
+                raise ValueError(f"{path}: sites-only VCF (no sample "
+                                 "columns in the #CHROM header)")
+            parts = ln.split("\t")
+            if len(parts) - 9 != len(samples):
+                raise ValueError(
+                    f"{path}:{lineno}: {max(len(parts) - 9, 0)} sample "
+                    f"fields, header has {len(samples)}")
             chrom, pos, vid, ref, alt = parts[0], parts[1], parts[2], \
                 parts[3], parts[4]
             if "," in alt or alt in (".", ""):
                 continue  # multi-allelic / monomorphic: skip
-            fmt = parts[8]
-            gt_idx = fmt.split(":").index("GT") if fmt != "GT" else 0
+            fmt = parts[8].split(":")
+            if "GT" not in fmt:
+                continue  # GT-less record (valid per spec): skip
+            gt_idx = fmt.index("GT")
             col = np.empty(len(samples), np.uint8)
             for i, field in enumerate(parts[9:]):
                 gt = field.split(":")[gt_idx] if gt_idx else \
@@ -94,5 +108,8 @@ def vcf_to_bed(vcf_path: str, bed_path: str) -> Tuple[int, int]:
     with open(bed_path[:-4] + ".bim", "w") as fh:
         for chrom, pos, vid, ref, alt in variants:
             name = vid if vid not in (".", "") else f"{chrom}:{pos}"
-            fh.write(f"{chrom} {name} 0 {pos} {alt} {ref}\n")
+            # dense value = ALT dosage = .bed code 0b11 = homozygous A2,
+            # so A1 = REF, A2 = ALT — swapping these would allele-flip
+            # every genotype for external PLINK/GCTA consumers
+            fh.write(f"{chrom} {name} 0 {pos} {ref} {alt}\n")
     return geno.shape[0], geno.shape[1]

@@ -94,3 +94,15 @@ def test_simulate_hwe():
     assert set(np.unique(g)) <= {0, 1, 2}
     f = codec.allele_freq(g)
     assert (f > 0.0).all() and (f < 0.65).all()
+
+
+def test_unpack_planar16_cols_matches_full():
+    from miraculix_tpu.io import codec
+
+    rng = np.random.default_rng(4)
+    g = rng.integers(0, 3, size=(37, 533)).astype(np.uint8)
+    words = codec.pack_planar16(g, row_mult=8)
+    idx = np.sort(rng.choice(533, size=101, replace=False))
+    full = codec.unpack_planar16(words, 37, 533)
+    got = codec.unpack_planar16_cols(words, 37, idx)
+    np.testing.assert_array_equal(got, full[:, idx])
