@@ -302,6 +302,21 @@ def cmd_gblup(args) -> int:
                      estimate_h2=args.estimate_h2)
 
 
+def cmd_qc(args) -> int:
+    """Standard panel filters (plink --maf/--geno/--mind/--hwe roles),
+    streamed over the .bed bytes."""
+    from .qc import qc_filter
+
+    keep_s, keep_i = qc_filter(args.bed, args.out, maf=args.maf,
+                               geno=args.geno, mind=args.mind,
+                               hwe=args.hwe)
+    print(f"wrote {args.out}: kept {int(keep_s.sum())}/{len(keep_s)} SNPs, "
+          f"{int(keep_i.sum())}/{len(keep_i)} individuals "
+          f"(maf>={args.maf}, geno<={args.geno}, mind<={args.mind}"
+          f"{f', hwe>={args.hwe}' if args.hwe > 0 else ''})")
+    return 0
+
+
 def cmd_reml(args) -> int:
     """Variance components / SNP heritability from a .bed fileset with
     phenotypes in the .fam 6th column — the gcta --reml role."""
@@ -442,6 +457,19 @@ def main(argv=None) -> int:
                    help="CG iteration cap (bound the wall time of "
                         "host-streamed out-of-core solves)")
 
+    qcp = sub.add_parser("qc", help="filter a panel (plink --maf/--geno/"
+                         "--mind/--hwe roles), streamed")
+    qcp.add_argument("bed")
+    qcp.add_argument("-o", "--out", default="qc.bed")
+    qcp.add_argument("--maf", type=float, default=0.0,
+                     help="drop SNPs with minor-allele freq < MAF")
+    qcp.add_argument("--geno", type=float, default=1.0,
+                     help="drop SNPs with missing rate > GENO")
+    qcp.add_argument("--mind", type=float, default=1.0,
+                     help="drop individuals with missing rate > MIND")
+    qcp.add_argument("--hwe", type=float, default=0.0,
+                     help="drop SNPs with HWE chi2 p < HWE")
+
     rm = sub.add_parser("reml", help="variance components / h2 from .fam "
                         "phenotypes (gcta --reml role)")
     rm.add_argument("bed")
@@ -482,6 +510,7 @@ def main(argv=None) -> int:
         "gwas": cmd_gwas,
         "ingest": cmd_ingest,
         "gblup": cmd_gblup,
+        "qc": cmd_qc,
         "reml": cmd_reml,
         "ssgblup": cmd_ssgblup,
     }[args.cmd](args)

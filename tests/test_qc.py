@@ -1,0 +1,76 @@
+"""Panel QC: streamed byte-LUT stats and the standard filters, against
+dense numpy oracles."""
+import numpy as np
+
+from miraculix_tpu import qc
+from miraculix_tpu.io import bed
+
+
+def _write(tmp_path, g):
+    p = str(tmp_path / "q.bed")
+    bed.write_bed(p, g)
+    return p
+
+
+def test_snp_stats_oracle(tmp_path):
+    g = bed.simulate_genotypes(103, 517, seed=3, missing_rate=0.08)
+    p = _write(tmp_path, g)
+    counts, imiss = qc.snp_stats(p, chunk_snps=128)
+    for v in range(3):
+        np.testing.assert_array_equal(counts[:, v], (g == v).sum(axis=0))
+    np.testing.assert_array_equal(counts[:, 3], (g == 3).sum(axis=0))
+    np.testing.assert_array_equal(imiss, (g == 3).sum(axis=1))
+
+
+def test_hwe_detects_het_excess():
+    """A SNP with every call heterozygous must fail HWE hard; a
+    HWE-simulated panel's p-values must look uniform-ish."""
+    g = bed.simulate_genotypes(400, 200, seed=5)
+    counts = np.stack([(g == v).sum(axis=0) for v in range(4)], axis=1)
+    bad = np.array([[0, 400, 0, 0]])
+    p_bad = qc.hwe_chi2_p(bad)[0]
+    assert p_bad < 1e-50
+    pv = qc.hwe_chi2_p(counts)
+    assert (pv < 0.05).mean() < 0.12  # ~5% false positives expected
+
+
+def test_qc_filter_matches_numpy(tmp_path):
+    rng = np.random.default_rng(9)
+    g = bed.simulate_genotypes(120, 400, seed=7,
+                               maf_range=(0.005, 0.5)).astype(np.uint8)
+    # inject missing: 3 bad individuals + 5 bad SNPs
+    g[:3, ::2] = 3
+    g[:, :5] = np.where(rng.random((120, 5)) < 0.4, 3, g[:, :5])
+    p = _write(tmp_path, g)
+    out = str(tmp_path / "f.bed")
+    keep_s, keep_i = qc.qc_filter(p, out, maf=0.05, geno=0.2, mind=0.3,
+                                  chunk_snps=64)
+
+    # numpy oracle, PLINK order: mind first, then per-SNP on kept indiv
+    ki = (g == 3).mean(axis=1) <= 0.3
+    gk = g[ki]
+    miss = (gk == 3).mean(axis=0)
+    called = np.where(gk == 3, 0, gk).astype(float)
+    nc = (gk != 3).sum(axis=0)
+    p_alt = called.sum(axis=0) / np.maximum(2 * nc, 1)
+    maf = np.minimum(p_alt, 1 - p_alt)
+    ks = (nc > 0) & (miss <= 0.2) & (maf >= 0.05)
+    np.testing.assert_array_equal(keep_i, ki)
+    np.testing.assert_array_equal(keep_s, ks)
+
+    back, _ = bed.read_bed_genotypes(out)
+    np.testing.assert_array_equal(back, g[np.ix_(ki, ks)])
+    # sibling files subset consistently
+    assert sum(1 for _ in open(out[:-4] + ".bim")) == ks.sum()
+    assert sum(1 for _ in open(out[:-4] + ".fam")) == ki.sum()
+
+
+def test_cli_qc(tmp_path):
+    from miraculix_tpu import cli
+
+    g = bed.simulate_genotypes(40, 100, seed=11, maf_range=(0.01, 0.5))
+    p = _write(tmp_path, g)
+    out = str(tmp_path / "c.bed")
+    assert cli.main(["qc", p, "-o", out, "--maf", "0.05"]) == 0
+    n, s = bed.read_bed_genotypes(out)[0].shape
+    assert n == 40 and 0 < s <= 100

@@ -51,6 +51,10 @@ def test_gzip_and_round_trip(tmp_path):
     np.testing.assert_array_equal(back, g)
     gm = mx.from_bed(bedp)
     assert gm.indiv == 7 and gm.snps == 25
+    # .bim allele order: dense value = ALT dosage = hom-A2, so A1 must be
+    # REF and A2 ALT — swapped columns allele-flip external consumers
+    a1, a2 = open(bedp[:-4] + ".bim").readline().split()[4:6]
+    assert (a1, a2) == ("A", "G")
 
 
 def test_cli_ingest_vcf(tmp_path):
