@@ -168,3 +168,28 @@ def _write_filtered(bed_path, out_path, keep_s, keep_i, chunk_snps):
             for k, ln in zip(keep, lines):
                 if k:
                     dst_f.write(ln)
+
+
+def rel_cutoff(grm: np.ndarray, cutoff: float = 0.125) -> np.ndarray:
+    """Greedy unrelated-subset selection (PLINK --rel-cutoff role): while
+    any off-diagonal relatedness exceeds ``cutoff``, drop the individual
+    involved in the most violations (ties -> higher mean relatedness).
+    Returns a boolean keep mask."""
+    g = np.asarray(grm, np.float64)
+    n = g.shape[0]
+    viol = (np.abs(g) > cutoff)
+    np.fill_diagonal(viol, False)
+    keep = np.ones(n, bool)
+    counts = viol.sum(axis=1).astype(np.int64)
+    while True:
+        active = counts * keep
+        worst = int(np.argmax(active))
+        if active[worst] == 0:
+            break
+        cand = np.flatnonzero(active == active[worst])
+        if len(cand) > 1:
+            worst = int(cand[np.argmax(np.abs(g[cand]).mean(axis=1))])
+        keep[worst] = False
+        counts -= viol[:, worst]
+        counts[worst] = 0
+    return keep

@@ -74,3 +74,21 @@ def test_cli_qc(tmp_path):
     assert cli.main(["qc", p, "-o", out, "--maf", "0.05"]) == 0
     n, s = bed.read_bed_genotypes(out)[0].shape
     assert n == 40 and 0 < s <= 100
+
+
+def test_rel_cutoff():
+    """Related pairs are broken by dropping the most-connected member;
+    the surviving set has no pair above the cutoff and is maximal-ish
+    (a clique of 3 loses exactly 2 members)."""
+    n = 12
+    g = np.eye(n) * 1.0
+    # clique: 0-1-2 all related; pair: 5-6; hub: 9 related to 10 and 11
+    for i, j in [(0, 1), (0, 2), (1, 2), (5, 6), (9, 10), (9, 11)]:
+        g[i, j] = g[j, i] = 0.3
+    keep = qc.rel_cutoff(g, cutoff=0.125)
+    kept = np.flatnonzero(keep)
+    sub = g[np.ix_(kept, kept)]
+    np.fill_diagonal(sub, 0)
+    assert np.abs(sub).max() <= 0.125
+    assert keep.sum() == n - 4  # 2 from the clique, 1 of (5,6), hub 9
+    assert not keep[9] and keep[10] and keep[11]
