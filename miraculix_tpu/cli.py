@@ -361,7 +361,8 @@ def cmd_ssgblup(args) -> int:
     return run_ssgblup(args.bed, args.pedigree, pheno_path=args.pheno,
                        out=args.out, h2=args.h2, blend=args.blend,
                        tau=args.tau, omega=args.omega, tol=args.tol,
-                       no_inbreeding=args.no_inbreeding)
+                       no_inbreeding=args.no_inbreeding,
+                       estimate_h2=args.estimate_h2)
 
 
 def main(argv=None) -> int:
@@ -498,6 +499,9 @@ def main(argv=None) -> int:
     ss.add_argument("--no-inbreeding", action="store_true",
                     help="classical A^-1 rules (skip Meuwissen-Luo F; "
                          "faster init on very large pedigrees)")
+    ss.add_argument("--estimate-h2", action="store_true",
+                    help="estimate the variance ratio by single-step "
+                         "AI-REML before solving (replaces --h2)")
 
     args = p.parse_args(argv)
     return {

@@ -428,7 +428,8 @@ def run_ssgblup(bed_path: str, pedigree_path: str,
                 pheno_path: Optional[str] = None, out: str = "ebv.tsv",
                 h2: float = 0.5, blend: float = 0.05, tau: float = 1.0,
                 omega: float = 1.0, tol: float = 1e-5,
-                inner_tol: float = 1e-6, no_inbreeding: bool = False) -> int:
+                inner_tol: float = 1e-6, no_inbreeding: bool = False,
+                estimate_h2: bool = False) -> int:
     """CLI entry: single-step evaluation from files.
 
     - ``bed_path``: PLINK fileset of the GENOTYPED animals; the .fam
@@ -494,6 +495,12 @@ def run_ssgblup(bed_path: str, pedigree_path: str,
     f = np.zeros(len(labels)) if no_inbreeding else None
     hinv = SingleStepHInv(sire, dam, g, geno_ids, blend=blend, tau=tau,
                           omega=omega, inner_tol=inner_tol, f=f)
+    if estimate_h2:
+        h2_hat, det = estimate_h2_reml_ss(y, hinv, obs_ids=obs_ids)
+        print(f"ss-AI-REML h2 = {h2_hat:.3f} (SE {det['se_h2']:.3f}, "
+              f"{det['iterations']} AI steps, converged="
+              f"{det['converged']}; replacing --h2 {h2})")
+        h2 = min(max(h2_hat, 0.01), 0.99)
     res = ssgblup(y, hinv, obs_ids=obs_ids, h2=h2, tol=tol)
     with open(out, "w") as fh:
         fh.write("animal\tebv\tgenotyped\n")

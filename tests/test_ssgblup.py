@@ -249,3 +249,36 @@ def test_ss_reml_stochastic(ss_reml_panel):
     np.testing.assert_allclose(det["vu"] + det["ve"],
                                y.var() * (det["s2u"] + det["s2e"]),
                                rtol=1e-12)
+
+
+def test_run_ssgblup_estimate_h2(tmp_path, capsys):
+    """CLI path with --estimate-h2: ss-AI-REML feeds the solve."""
+    from miraculix_tpu.ssgblup import run_ssgblup
+
+    rng = np.random.default_rng(13)
+    sire, dam = ped.simulate_pedigree(70, n_founders=10, seed=8)
+    labels = [f"a{i+1}" for i in range(70)]
+    pedf = tmp_path / "p.txt"
+    with open(pedf, "w") as fh:
+        for i in range(70):
+            fh.write(f"{labels[i]} "
+                     f"{labels[sire[i]-1] if sire[i] else '0'} "
+                     f"{labels[dam[i]-1] if dam[i] else '0'}\n")
+    geno = bed.simulate_genotypes(30, 200, seed=3)
+    bedp = str(tmp_path / "g.bed")
+    bed.write_bed(bedp, geno)
+    fam = open(bedp[:-4] + ".fam").read().splitlines()
+    with open(bedp[:-4] + ".fam", "w") as fh:
+        for k, ln in enumerate(fam):
+            parts = ln.split()
+            parts[1] = labels[40 + k]
+            fh.write(" ".join(parts) + "\n")
+    phenf = tmp_path / "y.txt"
+    with open(phenf, "w") as fh:
+        for i in range(40):
+            fh.write(f"{labels[i]} {rng.standard_normal():.5f}\n")
+    rc = run_ssgblup(bedp, str(pedf), pheno_path=str(phenf),
+                     out=str(tmp_path / "e.tsv"), estimate_h2=True,
+                     tol=1e-5)
+    assert rc == 0
+    assert "ss-AI-REML h2 =" in capsys.readouterr().out
