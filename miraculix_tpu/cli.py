@@ -237,6 +237,9 @@ def cmd_gwas(args) -> int:
         dense, _ = bedio.read_bed_genotypes(args.bed)
         y, _ = simulate_phenotypes(dense, h2=0.5)
         print("(.fam has no phenotypes — simulated, h2=0.5)")
+    if args.loco and not args.mixed:
+        raise SystemExit("--loco requires --mixed (it modifies the "
+                         "mixed-model GRM, not the linear/logistic scans)")
     if args.logistic:
         from .gwas import gwas_logistic
 
@@ -259,9 +262,6 @@ def cmd_gwas(args) -> int:
         print(f"wrote {args.out}: {len(res.beta)} SNPs (logistic score); "
               f"top hits {list(top)}")
         return 0
-    if args.loco and not args.mixed:
-        raise SystemExit("--loco requires --mixed (it modifies the "
-                         "mixed-model GRM, not the linear scan)")
     if args.mixed:
         from .gwas import gwas_mixed, gwas_mixed_loco
 

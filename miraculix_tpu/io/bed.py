@@ -19,10 +19,15 @@ BED_MAGIC = bytes([0x6C, 0x1B, 0x01])
 
 
 def _count_lines(path: str) -> int:
+    """Non-blank line count — the .fam/.bim record count every reader
+    sizes buffers from.  Counting blank lines (stray trailing newline,
+    hand-edited files) would mis-dimension the whole fileset: nbytes
+    per SNP row is derived from this."""
     n = 0
     with open(path, "rb") as fh:
-        for _ in fh:
-            n += 1
+        for ln in fh:
+            if ln.strip():
+                n += 1
     return n
 
 

@@ -80,12 +80,11 @@ def read_vcf(path: str):
             gt_idx = fmt.index("GT")
             col = np.empty(len(samples), np.uint8)
             for i, field in enumerate(parts[9:]):
-                gt = field.split(":")[gt_idx] if gt_idx else \
-                    field.split(":", 1)[0]
-                try:
-                    col[i] = _GT[gt]
-                except KeyError:
-                    col[i] = 3  # partial calls like ./1 -> missing
+                sub = field.split(":")
+                # spec allows dropping trailing subfields: a field shorter
+                # than gt_idx has no GT -> missing
+                gt = sub[gt_idx] if gt_idx < len(sub) else "."
+                col[i] = _GT.get(gt, 3)  # partial calls like ./1 -> 3
             cols.append(col)
             variants.append((chrom, int(pos), vid, ref, alt))
     if not cols:

@@ -33,13 +33,30 @@ for _b in range(256):
             _MISS4[_b] |= 1 << _j
 
 
+def _check_bed(path: str) -> None:
+    if not path.endswith(".bed"):
+        raise ValueError(f"expected a .bed path, got {path!r} (sibling "
+                         ".bim/.fam names are derived from it)")
+
+
+def _auto_chunk(chunk_snps: int, nbytes: int,
+                budget_bytes: int = 512 << 20) -> int:
+    """Cap the SNP chunk so the LUT expansion (~10 bytes per genotype
+    byte: raw + uint16 [.., 4] counts + miss mask) stays inside a fixed
+    byte budget — per-chunk memory must scale with individuals, or
+    biobank-width panels OOM exactly where streaming matters."""
+    return max(1, min(chunk_snps, budget_bytes // (10 * max(nbytes, 1))))
+
+
 def snp_stats(bed_path: str, chunk_snps: int = 65_536):
     """One streaming pass -> per-SNP genotype counts [snps, 4]
     (n0, n1, n2, nmiss in ALT-dosage coding) and per-individual missing
     counts [indiv]."""
+    _check_bed(bed_path)
     n_indiv = bedio._count_lines(bed_path[:-4] + ".fam")
     n_snps = bedio._count_lines(bed_path[:-4] + ".bim")
     nbytes = (n_indiv + 3) // 4
+    chunk_snps = _auto_chunk(chunk_snps, nbytes)
     counts = np.zeros((n_snps, 4), np.int64)
     indiv_miss = np.zeros(nbytes * 4, np.int64)
     # positions past n_indiv in the last byte are zero-padded (code 00 =
@@ -102,65 +119,77 @@ def qc_filter(
     - ``maf``: drop SNPs with minor-allele frequency < maf
     - ``hwe``: drop SNPs with HWE p-value < hwe
 
+    With all-default thresholds this is a no-op (100%-missing SNPs are
+    kept; their MAF counts as 0, so any ``maf`` > 0 drops them).
+
     Returns (kept_snp_mask, kept_indiv_mask).
     """
     from .io import codec
 
+    _check_bed(out_path)
     counts, indiv_miss = snp_stats(bed_path, chunk_snps)
     n_snps = counts.shape[0]
     n_indiv = len(indiv_miss)
     keep_i = indiv_miss / n_snps <= mind
 
+    tmp_bed = None
     if keep_i.all():
         c = counts
     else:
-        # re-count on the kept individuals (streamed, chunked)
+        # re-count on the kept individuals; the same decode pass also
+        # writes the individual-filtered bytes to a temp payload so the
+        # final write is a byte-level row filter (no second decode)
         c = np.zeros_like(counts)
-        with open(bed_path, "rb") as fh:
+        nbytes = (n_indiv + 3) // 4
+        ki = np.flatnonzero(keep_i)
+        chunk = _auto_chunk(chunk_snps, nbytes)
+        tmp_bed = out_path + ".indiv_filtered.tmp"
+        with open(bed_path, "rb") as fh, open(tmp_bed, "wb") as tf:
             fh.seek(3)
-            nbytes = (n_indiv + 3) // 4
-            ki = np.flatnonzero(keep_i)
-            for s0 in range(0, n_snps, chunk_snps):
-                s1 = min(s0 + chunk_snps, n_snps)
+            for s0 in range(0, n_snps, chunk):
+                s1 = min(s0 + chunk, n_snps)
                 raw = np.frombuffer(fh.read((s1 - s0) * nbytes), np.uint8)
                 dense = codec.plink_to_dense(
                     raw.reshape(s1 - s0, nbytes).T, n_indiv)[ki]
                 for v, col in ((0, 0), (1, 1), (2, 2), (3, 3)):
                     c[s0:s1, col] = (dense == v).sum(axis=0)
+                tf.write(codec.dense_to_plink(dense).T.tobytes())
 
     nc = c[:, :3].sum(axis=1).astype(np.float64)
     ncall = np.maximum(nc, 1)
     p_alt = (2 * c[:, 2] + c[:, 1]) / (2 * ncall)
     maf_s = np.minimum(p_alt, 1 - p_alt)
     miss_rate = c[:, 3] / np.maximum(keep_i.sum(), 1)
-    keep_s = (nc > 0) & (miss_rate <= geno) & (maf_s >= maf)
+    keep_s = (miss_rate <= geno) & (maf_s >= maf)
+    if maf > 0:
+        keep_s &= nc > 0  # all-missing SNPs have no defined MAF
     if hwe > 0:
         keep_s &= hwe_chi2_p(c) >= hwe
 
-    _write_filtered(bed_path, out_path, keep_s, keep_i, chunk_snps)
+    _write_filtered(bed_path, out_path, keep_s, keep_i, chunk_snps,
+                    tmp_bed=tmp_bed, n_kept_indiv=int(keep_i.sum()))
     return keep_s, keep_i
 
 
-def _write_filtered(bed_path, out_path, keep_s, keep_i, chunk_snps):
-    from .io import codec
+def _write_filtered(bed_path, out_path, keep_s, keep_i, chunk_snps,
+                    tmp_bed=None, n_kept_indiv=None):
+    import os
 
-    n_indiv = len(keep_i)
+    n_indiv = n_kept_indiv if tmp_bed else len(keep_i)
     nbytes = (n_indiv + 3) // 4
-    all_i = keep_i.all()
-    ki = np.flatnonzero(keep_i)
-    with open(bed_path, "rb") as src, open(out_path, "wb") as dst:
+    src_path = tmp_bed or bed_path
+    offset = 0 if tmp_bed else 3  # the temp payload has no magic bytes
+    chunk = _auto_chunk(chunk_snps, nbytes)
+    with open(src_path, "rb") as src, open(out_path, "wb") as dst:
         dst.write(bedio.BED_MAGIC)
-        src.seek(3)
+        src.seek(offset)
         n_snps = len(keep_s)
-        for s0 in range(0, n_snps, chunk_snps):
-            s1 = min(s0 + chunk_snps, n_snps)
+        for s0 in range(0, n_snps, chunk):
+            s1 = min(s0 + chunk, n_snps)
             raw = np.frombuffer(src.read((s1 - s0) * nbytes), np.uint8)
-            rows = raw.reshape(s1 - s0, nbytes)[keep_s[s0:s1]]
-            if all_i:
-                dst.write(rows.tobytes())
-            else:
-                dense = codec.plink_to_dense(rows.T, n_indiv)[ki]
-                dst.write(codec.dense_to_plink(dense).T.tobytes())
+            dst.write(raw.reshape(s1 - s0, nbytes)[keep_s[s0:s1]].tobytes())
+    if tmp_bed:
+        os.remove(tmp_bed)
     for ext, keep in ((".bim", keep_s), (".fam", keep_i)):
         with open(bed_path[:-4] + ext) as src_f:
             lines = [ln for ln in src_f if ln.strip()]
@@ -177,7 +206,8 @@ def rel_cutoff(grm: np.ndarray, cutoff: float = 0.125) -> np.ndarray:
     Returns a boolean keep mask."""
     g = np.asarray(grm, np.float64)
     n = g.shape[0]
-    viol = (np.abs(g) > cutoff)
+    viol = (g > cutoff)  # SIGNED, like plink: negative relatedness
+    # (diverged groups) is not a violation
     np.fill_diagonal(viol, False)
     keep = np.ones(n, bool)
     counts = viol.sum(axis=1).astype(np.int64)
@@ -188,7 +218,7 @@ def rel_cutoff(grm: np.ndarray, cutoff: float = 0.125) -> np.ndarray:
             break
         cand = np.flatnonzero(active == active[worst])
         if len(cand) > 1:
-            worst = int(cand[np.argmax(np.abs(g[cand]).mean(axis=1))])
+            worst = int(cand[np.argmax(g[cand].mean(axis=1))])
         keep[worst] = False
         counts -= viol[:, worst]
         counts[worst] = 0

@@ -92,3 +92,18 @@ def test_rel_cutoff():
     assert np.abs(sub).max() <= 0.125
     assert keep.sum() == n - 4  # 2 from the clique, 1 of (5,6), hub 9
     assert not keep[9] and keep[10] and keep[11]
+
+
+def test_blank_fam_line_does_not_mis_dimension(tmp_path):
+    """A stray blank line in .fam/.bim (hand-edited files) must not shift
+    the byte geometry: _count_lines counts records, not lines."""
+    g = bed.simulate_genotypes(9, 30, seed=2)
+    p = _write(tmp_path, g)
+    with open(p[:-4] + ".fam", "a") as fh:
+        fh.write("\n")   # trailing blank line
+    with open(p[:-4] + ".bim", "a") as fh:
+        fh.write("\n\n")
+    counts, imiss = qc.snp_stats(p)
+    assert counts.shape == (30, 4) and len(imiss) == 9
+    gm_geno, _ = bed.read_bed_genotypes(p)
+    np.testing.assert_array_equal(gm_geno, g)
