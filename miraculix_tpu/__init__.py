@@ -14,8 +14,8 @@ from .options import Options, get_global_options, set_global_options
 from .ops.dgemm import dgemm, packed_matmul
 from .gwas import (GWASResult, MixedGWASResult, gwas_linear,
                    gwas_logistic, gwas_mixed, gwas_mixed_loco)
-from .ops.grm import (dominance_grm, grm, grm_blocked, ld,
-                      ld_blocked, ld_prune, ld_windowed, snp_crossprod)
+from .ops.grm import (dominance_grm, grm, grm_blocked, grm_yang,
+                      ld, ld_blocked, ld_prune, ld_windowed, snp_crossprod)
 from .streamed import StreamedGeno
 # NB: like gblup, the ssgblup SOLVER stays at miraculix_tpu.ssgblup.ssgblup
 # (re-exporting the function would shadow the submodule)
@@ -36,6 +36,7 @@ __all__ = [
     "get_global_options",
     "grm",
     "grm_blocked",
+    "grm_yang",
     "ld",
     "ld_blocked",
     "GWASResult",

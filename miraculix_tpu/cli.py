@@ -140,6 +140,12 @@ def cmd_grm(args) -> int:
         if args.blocked:
             raise SystemExit("--dominance has no blocked path yet")
         out = np.asarray(dominance_grm(from_bed(args.bed)))
+    elif args.method == "yang":
+        from .ops.grm import grm_yang
+
+        if args.blocked:
+            raise SystemExit("--method yang has no blocked path yet")
+        out = np.asarray(grm_yang(from_bed(args.bed)))
     elif args.blocked:
         out = grm_blocked(args.bed, row_block=args.row_block)
     else:
@@ -404,6 +410,11 @@ def main(argv=None) -> int:
     gr.add_argument("--gcta-out", default=None, metavar="PREFIX",
                     help="also write PREFIX.grm.bin/.grm.N.bin/.grm.id "
                          "(GCTA binary GRM, consumed by gcta --reml etc.)")
+    gr.add_argument("--method", choices=["vanraden", "yang"],
+                    default="vanraden",
+                    help="GRM definition: VanRaden (global normalization, "
+                         "int8 crossprod path) or Yang/GCTA (per-SNP "
+                         "standardization, blocked dgemm path)")
     gr.add_argument("--dominance", action="store_true",
                     help="Su (2012) genotypic dominance relationship "
                          "matrix instead of the additive GRM")

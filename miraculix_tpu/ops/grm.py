@@ -747,3 +747,46 @@ def dominance_grm(
         denom = float(np.sum(pq * (1.0 - pq)))
         d = d / jnp.asarray(max(denom, 1e-30), dtype)
     return d
+
+
+def grm_yang(
+    g: GenoMatrix,
+    block: int = 2048,
+    dtype=jnp.float32,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """GCTA-default GRM (Yang et al. 2010): per-SNP standardization
+
+        G_ij = (1/m) sum_s (z_is - 2 p_s)(z_js - 2 p_s) / (2 p_s q_s)
+
+    — each SNP contributes unit variance, vs VanRaden's single global
+    sum-of-variances normalization (:func:`grm`).  The per-SNP weights
+    break the int8 crossprod trick, so the matrix is assembled in
+    individual column blocks with two packed dgemm passes per block
+    (t = Zc' E_J, scale rows by w_s, back through Zc) — ~an order of
+    magnitude more device work than the VanRaden path; use it when the
+    GCTA definition is required (interop with gcta --make-grm output).
+    Near-monomorphic SNPs (2pq ~ 0) are weighted 0, GCTA's behavior for
+    excluded SNPs.
+    """
+    import numpy as np
+
+    from .dgemm import dgemm
+
+    n = g.indiv
+    f = np.asarray(g.freq, np.float64)
+    pq2 = 2.0 * f * (1.0 - f)
+    m_used = int((pq2 > 1e-12).sum())
+    w = np.where(pq2 > 1e-12, 1.0 / (pq2 * max(m_used, 1)), 0.0)
+    wj = jnp.asarray(w, dtype)[:, None]
+
+    out = jnp.zeros((n, n), dtype)
+    eye = np.eye(n, dtype=np.float32)
+    for j0 in range(0, n, block):
+        j1 = min(j0 + block, n)
+        t = dgemm(g, jnp.asarray(eye[:, j0:j1]), trans="t", center=True,
+                  interpret=interpret)
+        gcol = dgemm(g, t.astype(dtype) * wj, trans="n", center=True,
+                     interpret=interpret)
+        out = out.at[:, j0:j1].set(gcol.astype(dtype))
+    return 0.5 * (out + out.T)  # two f32 passes: symmetrize exactly

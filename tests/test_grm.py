@@ -217,3 +217,22 @@ def test_dominance_grm_missing_as_nonhet():
     want = (hc @ hc.T) / np.sum(pq * (1.0 - pq))
     got = np.asarray(dominance_grm(gm), np.float64)
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_grm_yang_oracle():
+    """GCTA-style per-SNP-standardized GRM == the dense float64
+    definition (monomorphic SNPs weighted zero)."""
+    from miraculix_tpu.ops.grm import grm_yang
+
+    g = bed.simulate_genotypes(100, 600, seed=17)
+    g[:, 5] = 0  # monomorphic: must be excluded, not blow up
+    gm = mx.from_dense(g)
+    f = np.asarray(gm.freq, np.float64)
+    zc = g.astype(np.float64) - 2 * f[None, :]
+    pq2 = 2 * f * (1 - f)
+    use = pq2 > 1e-12
+    want = (zc[:, use] / pq2[use][None, :]) @ zc[:, use].T / use.sum()
+
+    got = np.asarray(grm_yang(gm, block=64), np.float64)
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-4
+    np.testing.assert_allclose(got, got.T)
