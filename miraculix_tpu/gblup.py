@@ -48,6 +48,23 @@ def _grm_matvec_of(g):
     return lambda v: grm_matvec(g, v)
 
 
+def _grm_diag_of(g):
+    """Exact diag(Z_c Z_cᵀ) on any container (the matvec counterpart is
+    :func:`_grm_matvec_of`)."""
+    from .parallel import (ShardedGeno, ShardedGeno2D, sharded_grm_diag,
+                           sharded_grm_diag_2d)
+    from .solve.cg import grm_diag
+    from .streamed import StreamedGeno
+
+    if isinstance(g, StreamedGeno):
+        return np.asarray(g.grm_diag(center=True), np.float64)
+    if isinstance(g, ShardedGeno):
+        return np.asarray(sharded_grm_diag(g), np.float64)[: g.indiv]
+    if isinstance(g, ShardedGeno2D):
+        return np.asarray(sharded_grm_diag_2d(g), np.float64)[: g.indiv]
+    return np.asarray(grm_diag(g, center=True, scale=False), np.float64)
+
+
 def randomized_grm_pca(
     g,
     k: int = 10,
@@ -655,7 +672,6 @@ def estimate_h2_he(
     """
     import jax.numpy as jnp
 
-    from .solve.cg import grm_diag, grm_matvec
     from .streamed import StreamedGeno
 
     n = g.indiv
@@ -664,20 +680,15 @@ def estimate_h2_he(
     sigma2 = float(g.sigma2)
     streamed = isinstance(g, StreamedGeno)
 
-    if streamed:
-        diag = g.grm_diag(center=True) / sigma2
+    diag = _grm_diag_of(g) / sigma2
+    gmv_raw = _grm_matvec_of(g)
 
-        def mv(v):
-            return np.asarray(g.grm_matvec(v.astype(np.float32)),
+    def mv(v):
+        if streamed:
+            return np.asarray(gmv_raw(v.astype(np.float32)),
                               np.float64) / sigma2
-    else:
-        diag = np.asarray(grm_diag(g, center=True, scale=False),
+        return np.asarray(gmv_raw(jnp.asarray(v, jnp.float32)),
                           np.float64) / sigma2
-
-        def mv(v):
-            return np.asarray(grm_matvec(
-                g, jnp.asarray(v, jnp.float32), center=True),
-                np.float64) / sigma2
 
     gy = mv(yt[:, None])[:, 0]
     num = float(yt @ gy - (diag * yt * yt).sum())

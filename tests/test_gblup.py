@@ -399,3 +399,20 @@ def test_multi_trait_gblup_missing_cells():
     # the missing cells got real (correlated-trait) predictions
     acc = np.corrcoef(res.g_hat[-40:, 1], u_true[-40:, 1])[0, 1]
     assert acc > 0.3, acc
+
+
+def test_estimate_h2_reml_sharded_matches_single_chip(reml_panel):
+    """AI-REML on the 8-device 1D-sharded container must reproduce the
+    single-chip estimate (same seed, same probes; solves differ only by
+    the distributed CG's reduction order)."""
+    from miraculix_tpu import parallel
+
+    geno, gm, y, _ = reml_panel
+    mesh = parallel.make_mesh(8)
+    sg = parallel.shard_genotypes(geno, mesh)
+    h2_s, det_s = gblup.estimate_h2_reml(sg, y, n_probes=8, seed=3,
+                                         cg_tol=1e-6)
+    h2_g, _ = gblup.estimate_h2_reml(gm, y, n_probes=8, seed=3,
+                                     cg_tol=1e-6)
+    assert det_s["converged"]
+    assert abs(h2_s - h2_g) < 5e-3, (h2_s, h2_g)
