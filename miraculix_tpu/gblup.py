@@ -740,12 +740,15 @@ def multi_trait_gblup(
     """
     import jax
 
-    from .solve.cg import cg, grm_diag
+    from .solve.cg import cg
 
-    if not isinstance(g, GenoMatrix):
+    from .streamed import StreamedGeno
+
+    if isinstance(g, StreamedGeno):
         raise TypeError(
-            "multi_trait_gblup is single-chip for now (needs grm_diag and "
-            "a jittable matvec); materialize the panel as a GenoMatrix")
+            "multi_trait_gblup needs a jittable matvec (the whole solve "
+            "is one XLA program); StreamedGeno's host-callback matvec "
+            "cannot trace — materialize or shard the panel instead")
     n = g.indiv
     y = np.asarray(y, np.float64)
     if y.ndim != 2 or y.shape[0] != n:
@@ -789,7 +792,7 @@ def multi_trait_gblup(
         pages = v.reshape(n, t, -1) * maskj
         return (vmat(pages) * maskj).reshape(n * t, -1)
 
-    gdiag = np.asarray(grm_diag(g, center=True), np.float64) / sigma2
+    gdiag = _grm_diag_of(g) / sigma2
     dv = (gdiag[:, None] * np.diag(su)[None, :]
           + np.diag(se)[None, :])                  # [n, t]
     minv = jnp.asarray(1.0 / dv.reshape(n * t), jnp.float32)

@@ -416,3 +416,23 @@ def test_estimate_h2_reml_sharded_matches_single_chip(reml_panel):
                                      cg_tol=1e-6)
     assert det_s["converged"]
     assert abs(h2_s - h2_g) < 5e-3, (h2_s, h2_g)
+
+
+def test_multi_trait_gblup_sharded_matches_single_chip():
+    """Bivariate GBLUP on the 8-device 1D mesh == single chip (the
+    Kronecker matvec rides the sharded packed operator)."""
+    from miraculix_tpu import parallel
+
+    geno = bed.simulate_genotypes(64, 700, seed=47)
+    rng = np.random.default_rng(3)
+    su = np.array([[1.0, 0.5], [0.5, 0.8]])
+    se = np.array([[0.6, 0.1], [0.1, 0.7]])
+    y = rng.standard_normal((64, 2)) + 1.0
+    y[-10:, 1] = np.nan  # missing cells too
+    gm = mx.from_dense(geno)
+    ref = gblup.multi_trait_gblup(gm, y, su, se, tol=1e-8, maxiter=3000)
+    mesh = parallel.make_mesh(8)
+    sg = parallel.shard_genotypes(geno, mesh)
+    got = gblup.multi_trait_gblup(sg, y, su, se, tol=1e-8, maxiter=3000)
+    np.testing.assert_allclose(got.beta, ref.beta, atol=2e-4)
+    np.testing.assert_allclose(got.g_hat, ref.g_hat, atol=2e-4)
