@@ -139,6 +139,9 @@ def cmd_grm(args) -> int:
 
         if args.blocked:
             raise SystemExit("--dominance has no blocked path yet")
+        if args.method == "yang":
+            raise SystemExit("--dominance and --method yang are mutually "
+                             "exclusive (pick one GRM definition)")
         out = np.asarray(dominance_grm(from_bed(args.bed)))
     elif args.method == "yang":
         from .ops.grm import grm_yang
@@ -230,6 +233,8 @@ def cmd_gwas(args) -> int:
         vals = []
         with open(args.bed[:-4] + ".fam") as fh:
             for line in fh:
+                if not line.strip():
+                    continue  # blank lines are not individuals
                 parts = line.split()
                 vals.append(float(parts[5]) if len(parts) > 5 else np.nan)
         y = np.asarray(vals)

@@ -684,8 +684,8 @@ def estimate_h2_he(
     gmv_raw = _grm_matvec_of(g)
 
     def mv(v):
-        if streamed:
-            return np.asarray(gmv_raw(v.astype(np.float32)),
+        if streamed:  # host matvec: don't round-trip through a jax array
+            return np.asarray(g.grm_matvec(v.astype(np.float32)),
                               np.float64) / sigma2
         return np.asarray(gmv_raw(jnp.asarray(v, jnp.float32)),
                           np.float64) / sigma2

@@ -765,9 +765,14 @@ def grm_yang(
     individual column blocks with two packed dgemm passes per block
     (t = Zc' E_J, scale rows by w_s, back through Zc) — ~an order of
     magnitude more device work than the VanRaden path; use it when the
-    GCTA definition is required (interop with gcta --make-grm output).
-    Near-monomorphic SNPs (2pq ~ 0) are weighted 0, GCTA's behavior for
-    excluded SNPs.
+    GCTA definition is required.  Near-monomorphic SNPs (2pq ~ 0) are
+    weighted 0, GCTA's behavior for excluded SNPs.
+
+    Missing genotypes: mean-imputed with a single global SNP count m —
+    exact GCTA interop on fully-called panels; gcta --make-grm instead
+    divides each PAIR by its own non-missing count, so panels with
+    missing calls differ slightly (run the panel through ``qc --geno``
+    first when byte-level agreement with gcta matters).
     """
     import numpy as np
 
@@ -776,17 +781,21 @@ def grm_yang(
     n = g.indiv
     f = np.asarray(g.freq, np.float64)
     pq2 = 2.0 * f * (1.0 - f)
-    m_used = int((pq2 > 1e-12).sum())
-    w = np.where(pq2 > 1e-12, 1.0 / (pq2 * max(m_used, 1)), 0.0)
+    use = pq2 > 1e-12
+    m_used = int(use.sum())
+    w = np.divide(1.0, pq2 * max(m_used, 1),
+                  out=np.zeros_like(pq2), where=use)
     wj = jnp.asarray(w, dtype)[:, None]
 
-    out = jnp.zeros((n, n), dtype)
-    eye = np.eye(n, dtype=np.float32)
+    cols = []
     for j0 in range(0, n, block):
         j1 = min(j0 + block, n)
-        t = dgemm(g, jnp.asarray(eye[:, j0:j1]), trans="t", center=True,
+        # block of the identity, built per iteration (a full n x n eye
+        # would be 40 GB of host RAM at n = 100K)
+        ej = np.eye(n, j1 - j0, -j0, dtype=np.float32)
+        t = dgemm(g, jnp.asarray(ej), trans="t", center=True,
                   interpret=interpret)
-        gcol = dgemm(g, t.astype(dtype) * wj, trans="n", center=True,
-                     interpret=interpret)
-        out = out.at[:, j0:j1].set(gcol.astype(dtype))
+        cols.append(dgemm(g, t.astype(dtype) * wj, trans="n", center=True,
+                          interpret=interpret).astype(dtype))
+    out = jnp.concatenate(cols, axis=1)  # one assembly, no per-block copy
     return 0.5 * (out + out.T)  # two f32 passes: symmetrize exactly

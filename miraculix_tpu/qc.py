@@ -166,15 +166,19 @@ def qc_filter(
     if hwe > 0:
         keep_s &= hwe_chi2_p(c) >= hwe
 
-    _write_filtered(bed_path, out_path, keep_s, keep_i, chunk_snps,
-                    tmp_bed=tmp_bed, n_kept_indiv=int(keep_i.sum()))
+    try:
+        _write_filtered(bed_path, out_path, keep_s, keep_i, chunk_snps,
+                        tmp_bed=tmp_bed, n_kept_indiv=int(keep_i.sum()))
+    finally:
+        import os
+
+        if tmp_bed and os.path.exists(tmp_bed):
+            os.remove(tmp_bed)
     return keep_s, keep_i
 
 
 def _write_filtered(bed_path, out_path, keep_s, keep_i, chunk_snps,
                     tmp_bed=None, n_kept_indiv=None):
-    import os
-
     n_indiv = n_kept_indiv if tmp_bed else len(keep_i)
     nbytes = (n_indiv + 3) // 4
     src_path = tmp_bed or bed_path
@@ -188,8 +192,6 @@ def _write_filtered(bed_path, out_path, keep_s, keep_i, chunk_snps,
             s1 = min(s0 + chunk, n_snps)
             raw = np.frombuffer(src.read((s1 - s0) * nbytes), np.uint8)
             dst.write(raw.reshape(s1 - s0, nbytes)[keep_s[s0:s1]].tobytes())
-    if tmp_bed:
-        os.remove(tmp_bed)
     for ext, keep in ((".bim", keep_s), (".fam", keep_i)):
         with open(bed_path[:-4] + ext) as src_f:
             lines = [ln for ln in src_f if ln.strip()]

@@ -436,3 +436,22 @@ def test_multi_trait_gblup_sharded_matches_single_chip():
     got = gblup.multi_trait_gblup(sg, y, su, se, tol=1e-8, maxiter=3000)
     np.testing.assert_allclose(got.beta, ref.beta, atol=2e-4)
     np.testing.assert_allclose(got.g_hat, ref.g_hat, atol=2e-4)
+
+
+def test_multi_trait_gblup_sharded2d_matches_single_chip():
+    """Bivariate GBLUP on the 2D (indiv x SNP) mesh == single chip —
+    the padded-row plumbing through the batched [n, t*k] pages."""
+    from miraculix_tpu import parallel
+
+    geno = bed.simulate_genotypes(48, 600, seed=53)
+    rng = np.random.default_rng(4)
+    su = np.array([[0.9, 0.4], [0.4, 1.1]])
+    se = np.array([[0.7, 0.0], [0.0, 0.6]])
+    y = rng.standard_normal((48, 2))
+    gm = mx.from_dense(geno)
+    ref = gblup.multi_trait_gblup(gm, y, su, se, tol=1e-8, maxiter=3000)
+    mesh2 = parallel.make_mesh_2d(8)
+    sg2 = parallel.shard_genotypes_2d(geno, mesh2)
+    got = gblup.multi_trait_gblup(sg2, y, su, se, tol=1e-8, maxiter=3000)
+    np.testing.assert_allclose(got.beta, ref.beta, atol=2e-4)
+    np.testing.assert_allclose(got.g_hat, ref.g_hat, atol=2e-4)
