@@ -313,6 +313,31 @@ def cmd_gblup(args) -> int:
                      estimate_h2=args.estimate_h2)
 
 
+def cmd_pedigree(args) -> int:
+    """Pedigree report: Meuwissen-Luo inbreeding + A-inverse stats from a
+    pedigree file (the INBUPGF90-style preprocessing step)."""
+    import numpy as np
+
+    from .pedigree import a_inverse, inbreeding, read_pedigree
+
+    sire, dam = None, None
+    sire, dam, labels = read_pedigree(args.pedigree)
+    n = len(labels)
+    f = np.zeros(n) if args.no_inbreeding else inbreeding(sire, dam)
+    r, c, v = a_inverse(sire, dam, f=f)
+    with open(args.out, "w") as fh:
+        fh.write("animal\tsire\tdam\tF\n")
+        for i, lab in enumerate(labels):
+            s_lab = labels[sire[i] - 1] if sire[i] else "0"
+            d_lab = labels[dam[i] - 1] if dam[i] else "0"
+            fh.write(f"{lab}\t{s_lab}\t{d_lab}\t{f[i]:.6f}\n")
+    both = int(((sire > 0) & (dam > 0)).sum())
+    print(f"wrote {args.out}: {n} animals ({both} with both parents), "
+          f"mean F = {f.mean():.4f}, max F = {f.max():.4f}, "
+          f"A-inverse nnz = {len(v)}")
+    return 0
+
+
 def cmd_qc(args) -> int:
     """Standard panel filters (plink --maf/--geno/--mind/--hwe roles),
     streamed over the .bed bytes."""
@@ -474,6 +499,13 @@ def main(argv=None) -> int:
                    help="CG iteration cap (bound the wall time of "
                         "host-streamed out-of-core solves)")
 
+    pd = sub.add_parser("pedigree", help="inbreeding + A-inverse report "
+                        "from a pedigree file")
+    pd.add_argument("pedigree")
+    pd.add_argument("-o", "--out", default="inbreeding.tsv")
+    pd.add_argument("--no-inbreeding", action="store_true",
+                    help="skip Meuwissen-Luo F (very large deep pedigrees)")
+
     qcp = sub.add_parser("qc", help="filter a panel (plink --maf/--geno/"
                          "--mind/--hwe roles), streamed")
     qcp.add_argument("bed")
@@ -530,6 +562,7 @@ def main(argv=None) -> int:
         "gwas": cmd_gwas,
         "ingest": cmd_ingest,
         "gblup": cmd_gblup,
+        "pedigree": cmd_pedigree,
         "qc": cmd_qc,
         "reml": cmd_reml,
         "ssgblup": cmd_ssgblup,

@@ -841,3 +841,57 @@ def multi_trait_gblup(
     return MTGBLUPResult(beta=beta, g_hat=g_hat, fitted=fitted,
                          cg_iterations=int(res.iterations)
                          + int(res2.iterations))
+
+
+def gblup_from_grm(
+    grm_matrix: np.ndarray,
+    y: np.ndarray,
+    h2: float = 0.5,
+    covariates: Optional[np.ndarray] = None,
+    tol: float = 1e-6,
+    maxiter: int = 2000,
+) -> GBLUPResult:
+    """GBLUP from a PRECOMPUTED relationship matrix (e.g. a GCTA
+    .grm.bin fileset read back with :func:`io.grm_io.read_gcta_grm`, or
+    an H-matrix from another tool) — the reverse interop direction: the
+    packed-panel pipeline exports GRMs, this consumes them.  Same BLUE /
+    BLUP estimates as :func:`gblup`, via Jacobi-preconditioned block CG
+    on the dense operator."""
+    import jax
+
+    from .solve.cg import cg, jacobi_minv
+
+    g = np.asarray(grm_matrix, np.float64)
+    n = g.shape[0]
+    if g.shape != (n, n):
+        raise ValueError(f"grm must be square, got {g.shape}")
+    y = np.asarray(y, np.float64).reshape(n)
+    lam = (1.0 - h2) / h2
+
+    cols = [np.ones((n, 1))]
+    if covariates is not None:
+        cov = np.asarray(covariates, np.float64)
+        cols.append(cov[:, None] if cov.ndim == 1 else cov)
+    x = np.concatenate(cols, axis=1)
+    p = x.shape[1]
+
+    gj = jnp.asarray(g, jnp.float32)
+    minv = jacobi_minv(jnp.diag(gj) + lam)
+    run = jax.jit(lambda b: cg(lambda v: gj @ v + lam * v, b, tol=tol,
+                               maxiter=maxiter, minv=minv))
+    rhs = np.concatenate([x, y[:, None]], axis=1)
+    norms = np.linalg.norm(rhs, axis=0)
+    res = run(jnp.asarray(rhs / norms, jnp.float32))
+    b = np.asarray(res.x, np.float64) * norms
+    bx, by = b[:, :p], b[:, p]
+    beta = np.linalg.solve(x.T @ bx, x.T @ by)
+    res_u = run(jnp.asarray((y - x @ beta)[:, None]
+                            / max(np.linalg.norm(y - x @ beta), 1e-30),
+                jnp.float32))
+    u = np.asarray(res_u.x, np.float64)[:, 0] \
+        * max(np.linalg.norm(y - x @ beta), 1e-30)
+    g_hat = g @ u
+    fitted = x @ beta + g_hat
+    return GBLUPResult(beta=beta, g_hat=g_hat, fitted=fitted, pcs=None,
+                       cg_iterations=int(res.iterations)
+                       + int(res_u.iterations), u=u)

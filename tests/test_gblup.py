@@ -455,3 +455,24 @@ def test_multi_trait_gblup_sharded2d_matches_single_chip():
     got = gblup.multi_trait_gblup(sg2, y, su, se, tol=1e-8, maxiter=3000)
     np.testing.assert_allclose(got.beta, ref.beta, atol=2e-4)
     np.testing.assert_allclose(got.g_hat, ref.g_hat, atol=2e-4)
+
+
+def test_gblup_from_grm_matches_panel_gblup(panel):
+    """Consuming a precomputed GRM (the GCTA fileset round trip) must
+    reproduce the packed-panel GBLUP estimates."""
+    from miraculix_tpu.io.grm_io import read_gcta_grm, write_gcta_grm
+
+    geno, _ = panel
+    gm = mx.from_dense(geno)
+    y, _ = gblup.simulate_phenotypes(geno, h2=0.6, seed=9)
+    ref = gblup.gblup(gm, y, h2=0.5, n_pcs=0, tol=1e-8, maxiter=4000)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        write_gcta_grm(d + "/g", np.asarray(mx.grm(gm, scale=True)),
+                       gm.snps)
+        g2, _, _ = read_gcta_grm(d + "/g")
+    got = gblup.gblup_from_grm(g2, y, h2=0.5, tol=1e-8, maxiter=4000)
+    assert np.abs(got.beta - ref.beta).max() < 5e-3
+    denom = np.abs(ref.g_hat).max()
+    assert np.abs(got.g_hat - ref.g_hat).max() / denom < 5e-3

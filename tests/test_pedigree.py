@@ -139,3 +139,17 @@ def test_native_inbreeding_matches_python():
     f_py = ped._inbreeding_py(sire, dam)
     np.testing.assert_allclose(f_native, f_py, atol=1e-12)
     assert f_native.max() > 0.01
+
+
+def test_cli_pedigree_report(tmp_path, capsys):
+    from miraculix_tpu import cli
+
+    f = tmp_path / "ped.txt"
+    f.write_text("a 0 0\nb 0 0\nc a b\nd a b\ne c d\n")
+    out = str(tmp_path / "f.tsv")
+    assert cli.main(["pedigree", str(f), "-o", out]) == 0
+    lines = open(out).read().splitlines()
+    assert len(lines) == 6
+    got = {ln.split("\t")[0]: float(ln.split("\t")[3]) for ln in lines[1:]}
+    assert got["e"] == 0.25  # full-sib mating
+    assert got["c"] == 0.0
