@@ -250,17 +250,33 @@ def snp_effects(g, res: GBLUPResult) -> np.ndarray:
         g_hat = Zc alpha,   alpha = Zc' u / sigma2
 
     (VanRaden 2008's equivalence of GBLUP and SNP-BLUP) — one packed 't'
-    pass.  With alpha in hand, new animals are scored WITHOUT re-solving
-    (:func:`predict`) — the 'indirect predictions' deployment workflow.
+    pass on any container.  With alpha in hand, new animals are scored
+    WITHOUT re-solving (:func:`predict`) — the 'indirect predictions'
+    deployment workflow.
     """
+    from .parallel import (ShardedGeno, ShardedGeno2D, pad_indiv_vec,
+                           sharded_dgemm, sharded_dgemm_2d)
+    from .streamed import StreamedGeno
     from .ops.dgemm import dgemm
 
     if res.u is None:
         raise ValueError("GBLUPResult has no random-effect solutions "
                          "(fit with solver='cg'/'refined'/'dense')")
-    a = dgemm(g, jnp.asarray(res.u[:, None], jnp.float32), trans="t",
-              center=True)
-    return np.asarray(a, np.float64)[:, 0] / float(g.sigma2)
+    u = res.u[:, None]
+    if isinstance(g, StreamedGeno):
+        a = np.asarray(g.dgemm(u.astype(np.float32), trans="t",
+                               center=True), np.float64)
+    elif isinstance(g, ShardedGeno):
+        a = np.asarray(sharded_dgemm(g, jnp.asarray(u, jnp.float32),
+                                     trans="t", center=True), np.float64)
+    elif isinstance(g, ShardedGeno2D):
+        a = np.asarray(sharded_dgemm_2d(
+            g, pad_indiv_vec(g, jnp.asarray(u, jnp.float32)), trans="t"),
+            np.float64)[: g.snps]
+    else:
+        a = np.asarray(dgemm(g, jnp.asarray(u, jnp.float32), trans="t",
+                             center=True), np.float64)
+    return a[:, 0] / float(g.sigma2)
 
 
 def predict(g_new, alpha: np.ndarray, freq_train: np.ndarray) -> np.ndarray:

@@ -476,3 +476,28 @@ def test_gblup_from_grm_matches_panel_gblup(panel):
     assert np.abs(got.beta - ref.beta).max() < 5e-3
     denom = np.abs(ref.g_hat).max()
     assert np.abs(got.g_hat - ref.g_hat).max() / denom < 5e-3
+
+
+def test_snp_effects_containers_match(panel):
+    """Marker backsolve is container-independent: streamed and 1D-sharded
+    panels reproduce the single-chip alpha."""
+    from miraculix_tpu import parallel
+    from miraculix_tpu.streamed import StreamedGeno
+    import tempfile
+
+    geno, _ = panel
+    gm = mx.from_dense(geno)
+    y, _ = gblup.simulate_phenotypes(geno, h2=0.6, seed=9)
+    res = gblup.gblup(gm, y, h2=0.5, n_pcs=0, tol=1e-7)
+    ref = gblup.snp_effects(gm, res)
+
+    mesh = parallel.make_mesh(8)
+    sg = parallel.shard_genotypes(geno, mesh)
+    a1 = gblup.snp_effects(sg, res)
+    np.testing.assert_allclose(a1, ref, atol=1e-6 * np.abs(ref).max())
+
+    with tempfile.TemporaryDirectory() as d:
+        bed.write_bed(d + "/p.bed", geno)
+        st = StreamedGeno.from_bed(d + "/p.bed", chunk_snps=256)
+        a2 = gblup.snp_effects(st, res)
+    np.testing.assert_allclose(a2, ref, atol=1e-6 * np.abs(ref).max())
