@@ -6,10 +6,18 @@ core ops, and run the GBLUP pipeline.
     python -m miraculix_tpu.cli simulate --snps 50000 --indiv 10000 out.bed
     python -m miraculix_tpu.cli validate --snps 2000 --indiv 300
     python -m miraculix_tpu.cli bench --snps 65536 --indiv 4096 --ncol 32
+    python -m miraculix_tpu.cli qc panel.bed -o clean.bed --maf 0.01 --geno 0.1
     python -m miraculix_tpu.cli grm panel.bed -o grm.npy [--blocked]
-    python -m miraculix_tpu.cli ld panel.bed -o ld.npy
-    python -m miraculix_tpu.cli ingest panel.bed -o panel.npz
-    python -m miraculix_tpu.cli gblup panel.bed --h2 0.5
+                                  [--method yang] [--dominance] [--gcta-out g]
+    python -m miraculix_tpu.cli ld panel.bed -o ld.npy [--window 512]
+    python -m miraculix_tpu.cli gwas panel.bed [--logistic | --mixed [--loco]]
+    python -m miraculix_tpu.cli ingest panel.bed -o panel.npz   # or x.vcf.gz
+    python -m miraculix_tpu.cli reml panel.bed [--method he]
+    python -m miraculix_tpu.cli gblup panel.bed --h2 0.5 [--estimate-h2]
+                                  [--stream-chunk 65536 --maxiter 100]
+    python -m miraculix_tpu.cli pedigree ped.txt -o inbreeding.tsv
+    python -m miraculix_tpu.cli ssgblup geno.bed --pedigree ped.txt
+                                  [--pheno y.txt] [--estimate-h2]
     python -m miraculix_tpu.cli info
 """
 from __future__ import annotations
