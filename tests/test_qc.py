@@ -107,3 +107,13 @@ def test_blank_fam_line_does_not_mis_dimension(tmp_path):
     assert counts.shape == (30, 4) and len(imiss) == 9
     gm_geno, _ = bed.read_bed_genotypes(p)
     np.testing.assert_array_equal(gm_geno, g)
+
+
+def test_qc_hwe_filter_drops_het_excess(tmp_path):
+    g = bed.simulate_genotypes(200, 60, seed=21)
+    g[:, 7] = 1  # every call heterozygous: extreme HWE violation
+    p = _write(tmp_path, g)
+    out = str(tmp_path / "h.bed")
+    keep_s, _ = qc.qc_filter(p, out, hwe=1e-6)
+    assert not keep_s[7]
+    assert keep_s.sum() >= 55  # HWE-simulated SNPs mostly survive
