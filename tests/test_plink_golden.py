@@ -15,6 +15,17 @@ from miraculix_tpu import from_bed, grm, ld
 DATA = os.path.join(os.path.dirname(__file__), "data")
 BED = os.path.join(DATA, "golden_panel.bed")
 
+# The golden files are checked in (git add -f past the *.bed/*.npy ignore
+# rules), but regenerate if absent: make_plink_golden is deterministic
+# (fixed seed) and independent of miraculix_tpu, so a regenerated fixture
+# is the same oracle.
+if not os.path.exists(BED):
+    import subprocess
+    import sys
+
+    subprocess.run([sys.executable, os.path.join(DATA, "make_plink_golden.py")],
+                   check=True)
+
 
 def test_grm_matches_plink_make_rel_cov():
     gm = from_bed(BED)
