@@ -101,6 +101,48 @@ def _pmm_kernel_split_wide(zq_ref, b_ref, out_ref):
         out_ref[...] = out_ref[...] + prod
 
 
+def _pmm_kernel_split_wide_pp(zq_ref, b_ref, out_ref):
+    """Per-plane variant of ``_pmm_kernel_split_wide``: one hi+lo dot pair
+    per decode plane instead of concat-all-16-then-two-dots.
+
+    Planes are disjoint K-slices of the contraction, so summing the 16
+    partial products is exact; issuing a dot right after each plane's VPU
+    decode lets Mosaic overlap plane m+1's decode with plane m's MXU pass —
+    the same restructure that took the tall schedule 219→193 us and the
+    crossprod kernels to 551 T.  RHS block rows arrive plane-tile-major and
+    pre-scaled by 4^-m (``_reorder_rhs``), cancelling the mask-only
+    decode's 4^m plane factor exactly.
+    """
+    from .common import _MASKS, _SHIFTS
+
+    k = pl.program_id(1)
+    words = zq_ref[...]
+    tkw = words.shape[1]
+    b32 = b_ref[...]
+    bhi = b32.astype(jnp.bfloat16)
+    blo = (b32 - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = None
+    for m in range(16):
+        if m < 15:
+            plane = (words & _MASKS[m]).astype(jnp.int32).astype(jnp.bfloat16)
+        else:
+            plane = ((words >> _SHIFTS[15]) & 3).astype(jnp.int32).astype(
+                jnp.bfloat16)
+        p = (jnp.dot(plane, bhi[m * tkw:(m + 1) * tkw, :],
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(plane, blo[m * tkw:(m + 1) * tkw, :],
+                       preferred_element_type=jnp.float32))
+        acc = p if acc is None else acc + p
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[...] = acc
+
+    @pl.when(k != 0)
+    def _acc():
+        out_ref[...] = out_ref[...] + acc
+
+
 def _pmm_tall_kernel(bt_ref, zq_ref, out_ref, *, mode="split"):
     """out[rows, 16*tile_kw] += Bᵀ-tile @ decode(zq-tile).
 
@@ -226,7 +268,8 @@ def _reorder_rhs(b: jax.Array, cols: int, kw: int, tile_kw: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_r", "tile_kw", "split", "single_bf16", "interpret"),
+    static_argnames=("tile_r", "tile_kw", "split", "single_bf16", "interpret",
+                     "per_plane"),
 )
 def packed_matmul(
     zq: jax.Array,
@@ -237,6 +280,7 @@ def packed_matmul(
     split: bool = True,
     single_bf16: bool = False,
     interpret: bool = False,
+    per_plane: bool = True,
 ) -> jax.Array:
     """Raw product decode(zq) @ B_padded -> f32 [rows_pad, n].
 
@@ -253,7 +297,8 @@ def packed_matmul(
         return jnp.concatenate(
             [packed_matmul(zq, b[:, j: j + 512], tile_r=tile_r,
                            tile_kw=tile_kw, split=split,
-                           single_bf16=single_bf16, interpret=interpret)
+                           single_bf16=single_bf16, interpret=interpret,
+                           per_plane=per_plane)
              for j in range(0, n, 512)], axis=1)
     tile_r = pick_tile(rows, tile_r, 8)
     tile_kw = pick_tile(kw, tile_kw, 128)
@@ -337,9 +382,12 @@ def packed_matmul(
     if split:
         if split_in_kernel:
             # for n > 64 the two-dot form costs the same MXU passes as the
-            # N-concat trick and skips the host-side split+concat prepass
+            # N-concat trick and skips the host-side split+concat prepass;
+            # per_plane overlaps each plane's VPU decode with the previous
+            # plane's MXU pass (A/B'd on v5e — see BENCHMARKS.md)
             return call32(pl.pallas_call(
-                _pmm_kernel_split_wide,
+                _pmm_kernel_split_wide_pp if per_plane
+                else _pmm_kernel_split_wide,
                 grid=grid,
                 in_specs=[zq_spec, b_spec],
                 out_specs=out_spec,
