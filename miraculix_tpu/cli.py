@@ -399,6 +399,39 @@ def cmd_reml(args) -> int:
     return 0
 
 
+def cmd_pca(args) -> int:
+    """Top-k GRM eigenpairs (gcta --pca / plink --pca role): Halko
+    randomized range finder on the implicit operator Z_c(Z_cᵀ·) — G is
+    never formed (reference PCA: examples/gblup/calculate_gblup.jl:152-158).
+    Writes GCTA-style PREFIX.eigenvec (FID IID PC1..PCk) and
+    PREFIX.eigenval (one eigenvalue of the VanRaden-scaled GRM per line).
+    """
+    import numpy as np
+
+    from . import from_bed
+    from .gblup import randomized_grm_pca
+
+    g = from_bed(args.bed)
+    w, v = randomized_grm_pca(g, k=args.k, oversample=args.oversample,
+                              power_iters=args.power_iters, seed=args.seed)
+    # randomized_grm_pca eigendecomposes the UNSCALED centered GRM
+    # Z_c Z_cᵀ; GCTA reports eigenvalues of the sigma2-normalized matrix.
+    w = w / float(g.sigma2)
+    with open(args.bed[:-4] + ".fam") as fh:
+        ids = [tuple(ln.split()[:2]) for ln in fh if ln.strip()]
+    if len(ids) != v.shape[0]:
+        raise SystemExit(f".fam has {len(ids)} ids but the panel has "
+                         f"{v.shape[0]} individuals")
+    with open(args.out + ".eigenval", "w") as fh:
+        fh.writelines(f"{x:.6g}\n" for x in w)
+    with open(args.out + ".eigenvec", "w") as fh:
+        for (fid, iid), row in zip(ids, v):
+            fh.write(" ".join([fid, iid] + [f"{x:.6g}" for x in row]) + "\n")
+    print(f"wrote {args.out}.eigenvec/.eigenval (top {args.k} PCs, "
+          f"{v.shape[0]} individuals)")
+    return 0
+
+
 def cmd_ssgblup(args) -> int:
     from .ssgblup import run_ssgblup  # lazy import
 
@@ -559,6 +592,17 @@ def main(argv=None) -> int:
                     help="estimate the variance ratio by single-step "
                          "AI-REML before solving (replaces --h2)")
 
+    pc = sub.add_parser("pca", help="top-k GRM principal components "
+                        "(gcta --pca role; G applied implicitly, never "
+                        "formed)")
+    pc.add_argument("bed")
+    pc.add_argument("-o", "--out", default="pca", metavar="PREFIX",
+                    help="writes PREFIX.eigenvec + PREFIX.eigenval")
+    pc.add_argument("-k", type=int, default=10, help="number of PCs")
+    pc.add_argument("--oversample", type=int, default=8)
+    pc.add_argument("--power-iters", type=int, default=2)
+    pc.add_argument("--seed", type=int, default=0)
+
     args = p.parse_args(argv)
     return {
         "info": cmd_info,
@@ -574,6 +618,7 @@ def main(argv=None) -> int:
         "qc": cmd_qc,
         "reml": cmd_reml,
         "ssgblup": cmd_ssgblup,
+        "pca": cmd_pca,
     }[args.cmd](args)
 
 

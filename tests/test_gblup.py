@@ -501,3 +501,34 @@ def test_snp_effects_containers_match(panel):
         st = StreamedGeno.from_bed(d + "/p.bed", chunk_snps=256)
         a2 = gblup.snp_effects(st, res)
     np.testing.assert_allclose(a2, ref, atol=1e-6 * np.abs(ref).max())
+
+
+def test_cli_pca_matches_dense_eigh(tmp_path, capsys):
+    """CLI pca (gcta --pca role): eigenvalues/eigenvectors of the
+    VanRaden-scaled GRM from the randomized solver must match a dense
+    float64 eigendecomposition of the explicitly formed GRM."""
+    from miraculix_tpu import cli
+
+    geno = bed.simulate_genotypes(100, 800, seed=23)
+    p = str(tmp_path / "p.bed")
+    bed.write_bed(p, geno)
+    prefix = str(tmp_path / "out")
+    assert cli.main(["pca", p, "-o", prefix, "-k", "5",
+                     "--oversample", "40", "--power-iters", "8"]) == 0
+    assert "top 5 PCs" in capsys.readouterr().out
+
+    w = np.loadtxt(prefix + ".eigenval")
+    vec_rows = [ln.split() for ln in open(prefix + ".eigenvec")]
+    assert len(vec_rows) == 100 and len(vec_rows[0]) == 2 + 5
+    v = np.array([[float(x) for x in r[2:]] for r in vec_rows])
+
+    # dense oracle: scaled centered GRM, top-5 eigenpairs
+    freq = np.where(geno == 3, 0, geno).mean(axis=0) / 2.0
+    zc = geno.astype(np.float64) - 2 * freq[None, :]
+    gmat = zc @ zc.T / (2 * (freq * (1 - freq)).sum())
+    wd, vd = np.linalg.eigh(gmat)
+    wd, vd = wd[::-1][:5], vd[:, ::-1][:, :5]
+    np.testing.assert_allclose(w, wd, rtol=2e-3)
+    for j in range(5):          # eigenvectors match up to sign
+        dot = abs(float(v[:, j] @ vd[:, j]))
+        assert dot > 0.999, (j, dot)

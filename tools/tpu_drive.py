@@ -29,7 +29,7 @@ from miraculix_tpu.gblup import (estimate_h2_reml,  # noqa: E402
 rng = np.random.default_rng(7)
 INDIV, SNPS = 1_024, 8_192
 g = bed.simulate_genotypes(INDIV, SNPS, seed=3)          # missing-free
-gm = GenoMatrix.from_dense(g)
+gm = from_dense(g)
 gz = g.astype(np.float64)
 freq = np.asarray(gm.freq, np.float64)
 zc = gz - 2 * freq[None, :]
@@ -54,8 +54,12 @@ check("dgemm t centered", dgemm(gm, b_t, trans="t"), zc.T @ b_t, 1e-4)
 check("dgemm n raw", dgemm(gm, b_n, center=False), gz @ b_n, 1e-4)
 check("dgemm n f32", dgemm(gm, b_n, center=False, precision="f32"),
       gz @ b_n, 1e-5)
-check("dgemm n f64", dgemm(gm, b_n, center=False, precision="f64"),
-      gz @ b_n, 1e-12)
+# f64 tier: without jax x64 the RHS is quantized to f32 on transfer, so
+# the exactness claim is tested against the f32-rounded oracle (the x64
+# subprocess test in test_dgemm.py covers true-f64 inputs on CPU)
+b_n32 = b_n.astype(np.float32).astype(np.float64)
+check("dgemm n f64", dgemm(gm, b_n32, center=False, precision="f64"),
+      gz @ b_n32, 1e-12)
 check("dgemm n bf16", dgemm(gm, b_n, center=False, precision="bf16"),
       gz @ b_n, 5e-2)
 
@@ -101,7 +105,7 @@ a = rng.standard_normal((256, 300))
 apd = a @ a.T + 256 * np.eye(256)
 bb = rng.standard_normal((256, 4))
 res = slv.dense_solve(jnp.asarray(apd, jnp.float32),
-                      jnp.asarray(bb, jnp.float32))
+                      jnp.asarray(bb, jnp.float32), calc_logdet=True)
 check("dense_solve", res.x, np.linalg.solve(apd, bb), 1e-3)
 check("dense_solve logdet", float(res.logdet),
       np.linalg.slogdet(apd)[1], 1e-4)
