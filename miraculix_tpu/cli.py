@@ -318,7 +318,59 @@ def cmd_gblup(args) -> int:
     return run_gblup(args.bed, h2=args.h2, pcs=args.pcs, solver=args.solver,
                      h2_method=args.h2_method, maxiter=args.maxiter,
                      stream_chunk=args.stream_chunk, tol=args.tol,
-                     estimate_h2=args.estimate_h2)
+                     estimate_h2=args.estimate_h2,
+                     effects_out=args.effects_out)
+
+
+def cmd_score(args) -> int:
+    """Score a panel with exported marker effects (plink --score role /
+    the 'indirect predictions' deployment loop): g_hat = (Z - 2 f_train)
+    alpha, centering with the TRAINING frequencies from the effects file
+    (gblup --effects-out), one packed 'n' pass."""
+    import numpy as np
+
+    from . import from_bed
+    from .gblup import predict
+
+    header = None
+    snp_ids, alleles, alpha, freq = [], [], [], []
+    with open(args.effects) as fh:
+        for ln in fh:
+            parts = ln.split()
+            if header is None:
+                header = parts
+                if parts[:1] == ["snp"]:
+                    continue            # header row from gblup --effects-out
+            snp_ids.append(parts[0])
+            alleles.append(parts[1])
+            alpha.append(float(parts[2]))
+            freq.append(float(parts[3]))
+    alpha = np.asarray(alpha)
+    freq = np.asarray(freq)
+
+    with open(args.bed[:-4] + ".bim") as fh:
+        bim = [ln.split() for ln in fh if ln.strip()]
+    if len(bim) != len(alpha):
+        raise SystemExit(f"effects file has {len(alpha)} SNPs but the panel "
+                         f"has {len(bim)} — panels must share the SNP set")
+    mism = sum(1 for row, sid, a1 in zip(bim, snp_ids, alleles)
+               if row[1] != sid or row[4] != a1)
+    if mism and not args.force:
+        raise SystemExit(f"{mism} SNP id/allele mismatches vs the .bim — "
+                         "the panels are not variant-aligned "
+                         "(--force to score anyway)")
+
+    g = from_bed(args.bed)
+    scores = predict(g, alpha, freq)
+    with open(args.bed[:-4] + ".fam") as fh:
+        ids = [tuple(ln.split()[:2]) for ln in fh if ln.strip()]
+    with open(args.out, "w") as fh:
+        fh.write("fid\tiid\tscore\n")
+        for (fid, iid), s in zip(ids, scores):
+            fh.write(f"{fid}\t{iid}\t{s:.6g}\n")
+    print(f"wrote {args.out}: {len(scores)} scores "
+          f"({len(alpha)} markers)")
+    return 0
 
 
 def cmd_pedigree(args) -> int:
@@ -539,6 +591,10 @@ def main(argv=None) -> int:
     g.add_argument("--maxiter", type=int, default=2000,
                    help="CG iteration cap (bound the wall time of "
                         "host-streamed out-of-core solves)")
+    g.add_argument("--effects-out", default=None, metavar="FILE",
+                   help="also backsolve per-SNP marker effects and write "
+                        "them (snp, allele, effect, freq_train TSV) for "
+                        "indirect prediction via `score`")
 
     pd = sub.add_parser("pedigree", help="inbreeding + A-inverse report "
                         "from a pedigree file")
@@ -592,6 +648,15 @@ def main(argv=None) -> int:
                     help="estimate the variance ratio by single-step "
                          "AI-REML before solving (replaces --h2)")
 
+    sc = sub.add_parser("score", help="score a panel with exported marker "
+                        "effects (plink --score role; centering uses the "
+                        "training frequencies from the effects file)")
+    sc.add_argument("bed")
+    sc.add_argument("effects", help="TSV from gblup --effects-out")
+    sc.add_argument("-o", "--out", default="scores.tsv")
+    sc.add_argument("--force", action="store_true",
+                    help="score even when SNP ids/alleles mismatch the .bim")
+
     pc = sub.add_parser("pca", help="top-k GRM principal components "
                         "(gcta --pca role; G applied implicitly, never "
                         "formed)")
@@ -619,6 +684,7 @@ def main(argv=None) -> int:
         "reml": cmd_reml,
         "ssgblup": cmd_ssgblup,
         "pca": cmd_pca,
+        "score": cmd_score,
     }[args.cmd](args)
 
 

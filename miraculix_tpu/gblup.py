@@ -315,7 +315,7 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
               solver: str = "cg", stream_chunk: int = 0,
               tol: float = 1e-4, verbose: bool = False,
               estimate_h2: bool = False, h2_method: str = "he",
-              maxiter: int = 2000) -> int:
+              maxiter: int = 2000, effects_out: Optional[str] = None) -> int:
     """CLI entry: full pipeline on a .bed fileset; phenotypes from the .fam
     6th column when present, else simulated with known breeding values.
 
@@ -386,6 +386,23 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
         print(f"cor(estimated BV, true BV) = {cor:.3f}")
     cor_fit = np.corrcoef(res.fitted, y)[0, 1]
     print(f"cor(fitted, phenotype)     = {cor_fit:.3f}")
+    if effects_out:
+        # marker-effect export for indirect prediction (cli score / the
+        # plink --score deployment loop): SNP id + effect allele from the
+        # .bim, backsolved ALT-dosage effect, training allele frequency
+        alpha = snp_effects(g, res)
+        freq = np.asarray(g.freq, np.float64)
+        with open(bed_path[:-4] + ".bim") as fh:
+            bim = [ln.split() for ln in fh if ln.strip()]
+        if len(bim) != len(alpha):
+            raise SystemExit(f".bim has {len(bim)} SNPs but the panel has "
+                             f"{len(alpha)} — fileset out of sync")
+        with open(effects_out, "w") as fh:
+            fh.write("snp\tallele\teffect\tfreq_train\n")
+            for row, a, f in zip(bim, alpha, freq):
+                fh.write(f"{row[1]}\t{row[4]}\t{a:.10g}\t{f:.10g}\n")
+        print(f"wrote {effects_out}: {len(alpha)} marker effects "
+              "(score new panels with `cli score`)")
     return 0
 
 

@@ -823,11 +823,47 @@ def dgemm(
     tall_limit = 128 if precision in ("bf16", "f32") else 64
     centered_done = False
     if precision == "f64":
+        # as_numpy keeps the exact host-f64 recombination: without
+        # jax_enable_x64, jnp.asarray(acc) would quantize the result to f32
+        # and silently degrade the tier to ~5e-8 (measured on v5e) — the
+        # whole epilogue therefore also runs host-side in numpy float64
+        import numpy as np
+
         c = packed_matmul_f64(
             zq, b, tile_r=tile_r, tile_kw=tile_kw, split=True,
-            interpret=interpret,
-        )
-        c = c[:rows]
+            interpret=interpret, as_numpy=True,
+        )[:rows]
+        bc = np.asarray(b, np.float64)
+        if mode in ("rowmeans", "user"):
+            cvec = np.asarray(2.0 * g.freq if mode == "rowmeans"
+                              else user_vec, np.float64)
+            if trans == "n":
+                c = c - (cvec @ bc)[None, :]
+            else:
+                c = c - cvec[:, None] * bc.sum(axis=0)[None, :]
+        elif mode == "colmeans":
+            pvec = np.asarray(2.0 * g.pseudo_freq, np.float64)
+            if trans == "n":
+                c = c - pvec[:rows, None] * bc.sum(axis=0)[None, :]
+            else:
+                c = c - (pvec @ bc)[None, :]
+        if mode != "none" and not ignore_missings and g.miss_rows_n is not None:
+            mi = np.asarray(g.miss_rows_n)
+            ms = np.asarray(g.miss_cols_n)
+            if mode == "colmeans":
+                cent = np.asarray(2.0 * g.pseudo_freq, np.float64)[mi]
+            elif mode == "user":
+                cent = np.asarray(user_vec, np.float64)[ms]
+            else:
+                cent = np.asarray(2.0 * g.freq, np.float64)[ms]
+            if trans == "n":
+                np.add.at(c, mi, cent[:, None] * bc[ms])
+            else:
+                np.add.at(c, ms, cent[:, None] * bc[mi])
+        if normalize:
+            s2 = g.sigma2 if trans == "t" else g.pseudo_sigma2
+            c = c / np.sqrt(np.asarray(s2, np.float64))
+        return c
     elif (precision in ("fast", "bf16", "f32") and b.shape[1] <= tall_limit
           and b.shape[0] <= zq_other.shape[0]):
         # skinny RHS: tall transposed schedule (see _pmm_tall_kernel).

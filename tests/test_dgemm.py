@@ -259,3 +259,41 @@ def test_packed_matmul_exact_kw_chunked(rng):
     want = np.where(g == 3, 3, g).astype(np.float64) @ b
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 1e-13, rel
+
+
+_NO_X64_SCRIPT = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import miraculix_tpu as mx
+from miraculix_tpu.io import bed
+from miraculix_tpu.ops import ref_impl
+assert not jax.config.jax_enable_x64
+g = bed.simulate_genotypes(100, 2000, seed=13, missing_rate=0.03)
+gm = mx.from_dense(g, keep_missing_info=True)
+b = np.random.default_rng(1).standard_normal((2000, 4))
+for center in (False, True):
+    c = mx.dgemm(gm, b, trans="n", center=center, precision="f64",
+                 ignore_missings=not center)
+    assert isinstance(c, np.ndarray) and c.dtype == np.float64, type(c)
+    want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64),
+                                 center=center, respect_missings=center)
+    err = np.abs(c - want).max() / np.abs(want).max()
+    assert err < 1e-12, (center, err)
+print("ok")
+"""
+
+
+def test_dgemm_f64_tier_without_x64():
+    """precision='f64' must hold its f64 grade with jax_enable_x64 OFF —
+    the default on real-TPU sessions.  Regression: jnp.asarray of the exact
+    host-f64 result used to quantize the tier to f32 (~5e-8, measured on
+    v5e); the fix keeps the result and the whole centering/missing epilogue
+    in host numpy float64."""
+    import subprocess
+    import sys
+
+    res = subprocess.run([sys.executable, "-c", _NO_X64_SCRIPT],
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "ok" in res.stdout

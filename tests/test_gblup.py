@@ -532,3 +532,55 @@ def test_cli_pca_matches_dense_eigh(tmp_path, capsys):
     for j in range(5):          # eigenvectors match up to sign
         dot = abs(float(v[:, j] @ vd[:, j]))
         assert dot > 0.999, (j, dot)
+
+
+def test_cli_effects_out_and_score(tmp_path, capsys):
+    """Deployment loop: gblup --effects-out exports marker effects, score
+    reproduces the training fit (indirect prediction == direct GBLUP) and
+    rejects variant-misaligned panels."""
+    from miraculix_tpu import cli, from_bed
+
+    geno = bed.simulate_genotypes(90, 500, seed=31)
+    y, _ = gblup.simulate_phenotypes(geno, h2=0.6, n_qtl=200, seed=5)
+    p = str(tmp_path / "t.bed")
+    bed.write_bed(p, geno)
+    fam = open(p[:-4] + ".fam").read().splitlines()
+    with open(p[:-4] + ".fam", "w") as fh:
+        for k, ln in enumerate(fam):
+            parts = ln.split()
+            parts[5] = f"{y[k]:.6f}"
+            fh.write(" ".join(parts) + "\n")
+
+    eff = str(tmp_path / "eff.tsv")
+    assert cli.main(["gblup", p, "--effects-out", eff]) == 0
+    capsys.readouterr()
+    rows = [ln.split("\t") for ln in open(eff)]
+    assert rows[0] == ["snp", "allele", "effect", "freq_train\n"] \
+        or rows[0][0] == "snp"
+    assert len(rows) == 1 + 500
+
+    out = str(tmp_path / "sc.tsv")
+    assert cli.main(["score", p, eff, "-o", out]) == 0
+    capsys.readouterr()
+    sc = np.loadtxt(out, skiprows=1, usecols=2)
+    assert sc.shape == (90,)
+
+    # oracle: predict() with the exported alpha/freq on the same panel
+    alpha = np.array([float(r[2]) for r in rows[1:]])
+    freq = np.array([float(r[3]) for r in rows[1:]])
+    want = gblup.predict(from_bed(p), alpha, freq)
+    np.testing.assert_allclose(sc, want, atol=1e-4 * np.abs(want).max())
+
+    # variant misalignment must be refused without --force
+    bim = open(p[:-4] + ".bim").read().splitlines()
+    parts3 = bim[3].split()
+    assert parts3[1] == "snp3"
+    parts3[1] = "OTHER"
+    bim[3] = " ".join(parts3)
+    with open(p[:-4] + ".bim", "w") as fh:
+        fh.write("\n".join(bim) + "\n")
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        cli.main(["score", p, eff, "-o", out])
+    assert cli.main(["score", p, eff, "-o", out, "--force"]) == 0
+    capsys.readouterr()

@@ -54,12 +54,12 @@ check("dgemm t centered", dgemm(gm, b_t, trans="t"), zc.T @ b_t, 1e-4)
 check("dgemm n raw", dgemm(gm, b_n, center=False), gz @ b_n, 1e-4)
 check("dgemm n f32", dgemm(gm, b_n, center=False, precision="f32"),
       gz @ b_n, 1e-5)
-# f64 tier: without jax x64 the RHS is quantized to f32 on transfer, so
-# the exactness claim is tested against the f32-rounded oracle (the x64
-# subprocess test in test_dgemm.py covers true-f64 inputs on CPU)
-b_n32 = b_n.astype(np.float32).astype(np.float64)
-check("dgemm n f64", dgemm(gm, b_n32, center=False, precision="f64"),
-      gz @ b_n32, 1e-12)
+# f64 tier: host-orchestrated exact path — full f64 inputs and outputs
+# regardless of jax_enable_x64 (the epilogue runs host-side in numpy)
+check("dgemm n f64", dgemm(gm, b_n, center=False, precision="f64"),
+      gz @ b_n, 1e-12)
+check("dgemm n f64 centered", dgemm(gm, b_n, center=True, precision="f64"),
+      zc @ b_n, 1e-12)
 check("dgemm n bf16", dgemm(gm, b_n, center=False, precision="bf16"),
       gz @ b_n, 5e-2)
 
@@ -126,8 +126,8 @@ st.free()
 
 # CG GBLUP on device: (G + I) x = y with mean-imputed centered Z
 y = rng.standard_normal(INDIV)
-sol = grm_cg_solve(gm, jnp.asarray(y, jnp.float32), lam=1.0, tol=1e-6,
-                   maxiter=500)
+sol = grm_cg_solve(gm, jnp.asarray(y, jnp.float32), lam=1.0, scale=True,
+                   tol=1e-6, maxiter=500)
 gmat = zc @ zc.T / (2 * (freq * (1 - freq)).sum())
 check("grm_cg_solve", sol.x, np.linalg.solve(gmat + np.eye(INDIV), y), 1e-3)
 
