@@ -196,8 +196,10 @@ class SparseTriangularSolver:
     default, as the Fortran callers supply them), matrix size, optional row
     permutation in :meth:`solve_lltx` as in ``c_solve_gpu_perm``
     (modmiraculix_gpu.f90:80-126).  ``bs`` is the substitution block size
-    (analysis granularity — any value >= 1 is correct; 256 balances scan
-    length against diagonal-inverse storage, which is 4·n·bs bytes).
+    (analysis granularity — any value >= 1 is correct; 512 won the v5e
+    sweep at n=1e6/nnz=1e7: 0.79 s/solve vs 0.98 at 256, diagonal-inverse
+    storage is 4·n·bs bytes = 2 GB; drop to 256 when init time or HBM
+    matters more than solve throughput).
     """
 
     def __init__(
@@ -208,7 +210,7 @@ class SparseTriangularSolver:
         n: int,
         index_base: int = 1,
         lower: bool = True,
-        bs: int = 256,
+        bs: int = 512,
         dtype=None,
     ):
         rows = np.asarray(rows, dtype=np.int64).ravel() - index_base
