@@ -87,7 +87,56 @@ def _invert_tri_batched(t: np.ndarray, lower: bool,
     return out
 
 
-def _analyze(rows, cols, vals, n, bs, lower, np_dtype):
+@functools.partial(jax.jit, static_argnames=("nb", "bs", "lower", "base"))
+def _assemble_invert_tri_device(dr, dc, dv, pad_idx, *, nb, bs, lower,
+                                base=32):
+    """Assemble + invert the diagonal blocks ON DEVICE (f32).
+
+    Ships only the diagonal COO triplets (O(nnz_diag) bytes) instead of the
+    dense [nb, bs, bs] inverse computed on host — at n = 1e6, bs = 512 that
+    replaces ~100 s of host f64 BLAS plus a 2 GB dinv transfer with a
+    device scatter + the same bottom-up block-doubling ridden on the MXU
+    (f32, HIGHEST precision).  f32 inversion error scales with each block's
+    condition number instead of plain rounding — acceptable for the f32
+    solver whose recurrence is f32 anyway (``solve(refine=...)`` corrects
+    against the EXACT COO matvec); the f64 solver keeps the host path.
+    """
+    t = (jnp.zeros((nb, bs, bs), jnp.float32)
+         .at[dr // bs, dr % bs, dc % bs].add(dv))
+    t = t.at[pad_idx // bs, pad_idx % bs, pad_idx % bs].set(1.0)
+    if not lower:
+        t = jnp.swapaxes(t, 1, 2)
+    p2 = 1 << (bs - 1).bit_length()
+    if p2 != bs:  # pad to a power of two with identity tails
+        tp = jnp.zeros((nb, p2, p2), t.dtype)
+        tp = tp.at[:, :bs, :bs].set(t)
+        i = jnp.arange(bs, p2)
+        t = tp.at[:, i, i].set(1.0)
+    with jax.default_matmul_precision("highest"):
+        base = min(base, p2)
+        ns0 = p2 // base
+        tv = t.reshape(nb, ns0, base, ns0, base)
+        d0 = jnp.moveaxis(jnp.diagonal(tv, axis1=1, axis2=3), -1, 1)
+        x = jnp.linalg.inv(d0.reshape(nb * ns0, base, base)
+                           ).reshape(nb, ns0, base, base)
+        h = base
+        while h < p2:
+            ns = p2 // (2 * h)
+            tv = t.reshape(nb, ns, 2 * h, ns, 2 * h)
+            d2 = jnp.moveaxis(jnp.diagonal(tv, axis1=1, axis2=3), -1, 1)
+            cblk = d2[:, :, h:, :h]
+            xp = x.reshape(nb, ns, 2, h, h)
+            ai, di = xp[:, :, 0], xp[:, :, 1]
+            low = -jnp.matmul(di, jnp.matmul(cblk, ai))
+            top = jnp.concatenate([ai, jnp.zeros_like(ai)], axis=-1)
+            bot = jnp.concatenate([low, di], axis=-1)
+            x = jnp.concatenate([top, bot], axis=-2)
+            h *= 2
+    x = x.reshape(nb, p2, p2)[:, :bs, :bs]
+    return jnp.swapaxes(x, 1, 2) if not lower else x
+
+
+def _analyze(rows, cols, vals, n, bs, lower, np_dtype, device_invert=False):
     """Host-side init-once analysis (the ``sparse2gpu`` analysis phase):
     dense diagonal-block inverses + per-block padded off-diagonal COO
     groups for both sweep directions."""
@@ -95,25 +144,31 @@ def _analyze(rows, cols, vals, n, bs, lower, np_dtype):
     npad = nb * bs
     rb, cb = rows // bs, cols // bs
 
-    # --- dense diagonal blocks, inverted once in f64 ---------------------
+    # --- dense diagonal blocks, inverted once ----------------------------
     diag_mask = rb == cb
     dr, dc, dv = rows[diag_mask], cols[diag_mask], vals[diag_mask]
-    # assemble + invert in FLOAT64 regardless of the solve precision, cast
-    # once at the end: inverting in f32 would make the stored inverse's
-    # error scale with each block's condition number (ill-conditioned
-    # relationship-factor blocks are common) instead of the plain f32
-    # rounding of an accurately-computed inverse.  Duplicate COO entries
-    # coalesce by summation — the same semantics the scatter-add gives
-    # the off-diagonal groups.
-    dblocks = np.zeros((nb, bs, bs), np.float64)
-    np.add.at(dblocks, (dr // bs, dr % bs, dc % bs), dv)
-    pad_idx = np.arange(n, npad)
-    dblocks[pad_idx // bs, pad_idx % bs, pad_idx % bs] = 1.0  # padded rows
-    if (np.abs(np.diagonal(dblocks, axis1=1, axis2=2))
-            < np.finfo(np.float64).tiny).any():
+    # singular check on the COALESCED diagonal (duplicates sum, the same
+    # semantics the scatter-add assembly gives every entry)
+    dsum = np.zeros(n, np.float64)
+    np.add.at(dsum, dr[dr == dc], dv[dr == dc])
+    if (np.abs(dsum) < np.finfo(np.float64).tiny).any():
         raise np.linalg.LinAlgError("singular diagonal block")
-    dinv = np.ascontiguousarray(_invert_tri_batched(dblocks, lower),
-                                dtype=np_dtype)
+    pad_idx = np.arange(n, npad)
+    if device_invert:
+        dinv = _assemble_invert_tri_device(
+            jnp.asarray(dr.astype(np.int32)), jnp.asarray(dc.astype(np.int32)),
+            jnp.asarray(dv.astype(np.float32)),
+            jnp.asarray(pad_idx.astype(np.int32)),
+            nb=nb, bs=bs, lower=lower)
+    else:
+        # assemble + invert in FLOAT64 on host, cast once at the end: the
+        # stored inverse is then the correctly-rounded one even for
+        # ill-conditioned relationship-factor blocks
+        dblocks = np.zeros((nb, bs, bs), np.float64)
+        np.add.at(dblocks, (dr // bs, dr % bs, dc % bs), dv)
+        dblocks[pad_idx // bs, pad_idx % bs, pad_idx % bs] = 1.0
+        dinv = np.ascontiguousarray(_invert_tri_batched(dblocks, lower),
+                                    dtype=np_dtype)
 
     # --- off-diagonal entries, grouped per block for each sweep ----------
     off_mask = ~diag_mask
@@ -212,6 +267,7 @@ class SparseTriangularSolver:
         lower: bool = True,
         bs: int = 512,
         dtype=None,
+        device_analysis: Optional[bool] = None,
     ):
         rows = np.asarray(rows, dtype=np.int64).ravel() - index_base
         cols = np.asarray(cols, dtype=np.int64).ravel() - index_base
@@ -244,8 +300,14 @@ class SparseTriangularSolver:
         self.lower = lower
         self.bs = bs
         self.nnz = int(len(vals))
+        if device_analysis is None:
+            # f32 solvers invert on device (MXU doubling; ships only the
+            # diagonal COO); the f64 path keeps the host inversion whose
+            # result is correctly rounded for ill-conditioned blocks
+            device_analysis = np_dtype == np.float32
         nb, npad, dinv, fwd, bwd = _analyze(rows, cols, vals, n, bs, lower,
-                                            np_dtype)
+                                            np_dtype,
+                                            device_invert=device_analysis)
         self.nb, self.npad = nb, npad
         self._dinv = jnp.asarray(dinv)
         self._fwd = tuple(jnp.asarray(a) for a in fwd)

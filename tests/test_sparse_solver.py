@@ -3,6 +3,7 @@
 Oracle = dense numpy solves in float64; shapes/scales mirror the reference's
 solver tests (tests/solve/test.jl: simulated diagonally-dominant factors,
 resilience loop of 100 repeated solves, sizes into the 1e4-1e6 range)."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -130,3 +131,28 @@ def test_free_releases():
     slv = SparseTriangularSolver(r, c, v, 10)
     slv.free()
     assert slv._dinv is None
+
+
+@pytest.mark.parametrize("bs", [96, 128])   # non-power-of-two exercises pad
+def test_device_analysis_matches_host(rng, bs):
+    """The device-side f32 analysis (MXU block-doubling inversion of the
+    diagonal blocks) must agree with the host f64 analysis to f32 grade,
+    and both with the scipy oracle."""
+    import scipy.sparse as sp
+
+    n = 3000
+    r, c, v = simulate_pedigree_factor(n, avg_offdiag=5, seed=9)
+    b = rng.standard_normal((n, 3)).astype(np.float32)
+    s_dev = SparseTriangularSolver(r, c, v, n, bs=bs, dtype=jnp.float32)
+    s_host = SparseTriangularSolver(r, c, v, n, bs=bs, dtype=jnp.float32,
+                                    device_analysis=False)
+    x_dev = np.asarray(s_dev.solve_lltx(b, refine=1), np.float64)
+    x_host = np.asarray(s_host.solve_lltx(b, refine=1), np.float64)
+    ll = sp.coo_matrix((v, (r - 1, c - 1)), shape=(n, n)).tocsr()
+    want = sp.linalg.spsolve_triangular(
+        sp.csr_matrix(ll.T),
+        sp.linalg.spsolve_triangular(ll, b.astype(np.float64), lower=True),
+        lower=False)
+    scale = np.abs(want).max()
+    assert np.abs(x_dev - want).max() / scale < 1e-4
+    assert np.abs(x_dev - x_host).max() / scale < 1e-4
