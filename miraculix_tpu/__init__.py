@@ -15,7 +15,8 @@ from .ops.dgemm import dgemm, packed_matmul
 from .gwas import (GWASResult, MixedGWASResult, gwas_linear,
                    gwas_logistic, gwas_mixed, gwas_mixed_loco)
 from .ops.grm import (dominance_grm, grm, grm_blocked, grm_yang,
-                      ld, ld_blocked, ld_prune, ld_windowed, snp_crossprod)
+                      ld, ld_blocked, ld_prune, ld_score, ld_windowed,
+                      snp_crossprod)
 from .streamed import StreamedGeno
 # NB: like gblup, the ssgblup SOLVER stays at miraculix_tpu.ssgblup.ssgblup
 # (re-exporting the function would shadow the submodule)
@@ -46,6 +47,7 @@ __all__ = [
     "gwas_mixed_loco",
     "MixedGWASResult",
     "ld_prune",
+    "ld_score",
     "ld_windowed",
     "load",
     "packed_matmul",

@@ -183,9 +183,23 @@ def cmd_grm(args) -> int:
 def cmd_ld(args) -> int:
     import numpy as np
 
-    from . import from_bed, ld, ld_windowed
+    from . import from_bed, ld, ld_score, ld_windowed
 
     g = from_bed(args.bed)
+    if args.score:
+        sc = ld_score(g, window=args.window or 512,
+                      adjusted=not args.no_adjust)
+        with open(args.bed[:-4] + ".bim") as fh:
+            ids = [ln.split()[1] for ln in fh if ln.strip()]
+        out = args.out if args.out != "ld.npy" else "ldscore.tsv"
+        with open(out, "w") as fh:
+            fh.write("snp\tldscore\n")
+            for sid, s in zip(ids, sc):
+                fh.write(f"{sid}\t{s:.6g}\n")
+        print(f"wrote {out}: {len(sc)} LD scores (window "
+              f"{args.window or 512}, "
+              f"{'adjusted' if not args.no_adjust else 'raw'} r^2)")
+        return 0
     if args.window:
         out = ld_windowed(g, window=args.window, squared=args.squared)
         np.save(args.out, out)
@@ -564,6 +578,12 @@ def main(argv=None) -> int:
                    help="banded LD within a SNP window (LD-pruning shape); "
                         "0 = full matrix")
     l.add_argument("--squared", action="store_true", help="emit r^2")
+    l.add_argument("--score", action="store_true",
+                   help="per-SNP LD scores (gcta --ld-score role; TSV "
+                        "output, uses --window or 512)")
+    l.add_argument("--no-adjust", action="store_true",
+                   help="--score: raw r^2 instead of GCTA's adjusted "
+                        "r^2 - (1-r^2)/(n-2)")
     l.add_argument("bed")
     l.add_argument("-o", "--out", default="ld.npy")
 

@@ -504,6 +504,40 @@ def ld_windowed(
     return out
 
 
+def ld_score(
+    g: GenoMatrix,
+    window: int = 512,
+    row_block: int = 4096,
+    adjusted: bool = True,
+):
+    """Per-SNP LD score: 1 + Σ r² over all partners within ``window``
+    positions (both directions) — the gcta64 ``--ld-score`` statistic the
+    reference's benchmark suite runs as a comparator
+    (utils/benchmark/benchmark_suite.jl:230-273), the input of LD-score
+    regression.  ``adjusted`` applies GCTA's small-sample correction
+    r²_adj = r² − (1 − r²)/(n − 2) to every real pair.
+
+    Runs off the banded r of :func:`ld_windowed` (O(snps·window) memory and
+    device work), so it streams panels whose full LD matrix never fits.
+    Returns float64 [snps].
+    """
+    import numpy as np
+
+    band = np.asarray(ld_windowed(g, window, row_block=row_block,
+                                  squared=True), np.float64)
+    snps, n = g.snps, g.indiv
+    if adjusted:
+        if n < 3:
+            raise ValueError("adjusted LD scores need >= 3 individuals")
+        valid = (np.arange(snps)[:, None] + 1
+                 + np.arange(window)[None, :]) < snps
+        band = np.where(valid, band - (1.0 - band) / (n - 2), 0.0)
+    score = 1.0 + band.sum(axis=1)
+    for d in range(window):  # incoming pairs: band[s-d-1, d] contributes to s
+        score[d + 1:] += band[: snps - d - 1, d]
+    return score
+
+
 def ld_prune(
     g: GenoMatrix,
     window: int = 512,

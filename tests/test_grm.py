@@ -236,3 +236,40 @@ def test_grm_yang_oracle():
     got = np.asarray(grm_yang(gm, block=64), np.float64)
     assert np.abs(got - want).max() / np.abs(want).max() < 2e-4
     np.testing.assert_allclose(got, got.T)
+
+
+def test_ld_score_matches_dense_oracle(tmp_path, capsys):
+    """ld_score == 1 + windowed sum of (adjusted) r^2 computed from a dense
+    float64 correlation matrix; CLI writes the TSV."""
+    from miraculix_tpu import cli, ld_score
+    from miraculix_tpu.io import bed as bedio
+
+    n, snps, window = 150, 400, 32
+    geno = bedio.simulate_genotypes(n, snps, seed=77)
+    gm = mx.from_dense(geno)
+
+    z = geno.astype(np.float64)
+    zc = z - z.mean(axis=0)
+    sd = np.sqrt((zc * zc).sum(axis=0))
+    sd[sd == 0] = 1.0
+    r = (zc.T @ zc) / np.outer(sd, sd)
+    r2 = r * r
+    for adjusted in (False, True):
+        mat = r2 - (1.0 - r2) / (n - 2) if adjusted else r2
+        want = np.ones(snps)
+        for s in range(snps):
+            lo, hi = max(0, s - window), min(snps, s + window + 1)
+            want[s] += mat[s, lo:hi].sum() - mat[s, s]
+        got = ld_score(gm, window=window, adjusted=adjusted)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    p = str(tmp_path / "l.bed")
+    bedio.write_bed(p, geno)
+    out = str(tmp_path / "sc.tsv")
+    assert cli.main(["ld", p, "--score", "--window", str(window),
+                     "-o", out]) == 0
+    capsys.readouterr()
+    rows = [ln.split("\t") for ln in open(out)][1:]
+    np.testing.assert_allclose(
+        np.array([float(x[1]) for x in rows]),
+        ld_score(mx.from_dense(geno), window=window), rtol=1e-4)
