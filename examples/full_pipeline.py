@@ -1,6 +1,6 @@
 """The whole workflow on one simulated dataset: QC -> GRM (+ GCTA
 fileset) -> REML h2 -> GBLUP -> marker backsolve -> prediction of new
-animals -> LOCO mixed-model GWAS.
+animals -> LOCO mixed-model GWAS -> PCA -> LD scores.
 
 Run from the repo root:  python examples/full_pipeline.py
 """
@@ -68,4 +68,13 @@ scan = mx.gwas_mixed_loco(gm, y, chrom, h2=h2_hat, n_gamma_snps=24,
                           tol=1e-6)
 top = np.argsort(scan.p)[:5]
 print(f"LOCO GWAS: lambda-ish gamma {scan.gamma:.3f}, top hits {list(top)}")
+
+# --- 7. population structure: top PCs (gcta --pca role) ------------------
+w_pc, pcs = gblup.randomized_grm_pca(gm, k=5, seed=0)
+print(f"PCA: top-5 GRM eigenvalues {np.round(w_pc / float(gm.sigma2), 3)}")
+
+# --- 8. LD scores (gcta --ld-score role) ---------------------------------
+lds = mx.ld_score(gm, window=256)
+print(f"LD scores: mean {lds.mean():.2f}, max {lds.max():.2f} "
+      f"(window 256, adjusted r^2)")
 print(f"pipeline artifacts in {work}")

@@ -164,14 +164,14 @@ def cmd_grm(args) -> int:
     if args.gcta_out:
         from .io.grm_io import write_gcta_grm
 
-        with open(args.bed[:-4] + ".fam") as fh:
-            ids = [tuple(ln.split()[:2]) for ln in fh if ln.strip()]
+        from .io.bed import read_bim, read_fam_ids
+
+        ids = read_fam_ids(args.bed)
         if len(ids) != out.shape[0]:
             raise SystemExit(f".fam has {len(ids)} ids but the GRM is "
                              f"{out.shape[0]}^2 — refusing to write a "
                              "desynchronized GCTA fileset")
-        n_snps = sum(1 for ln in open(args.bed[:-4] + ".bim")
-                     if ln.strip())
+        n_snps = len(read_bim(args.bed))
         write_gcta_grm(args.gcta_out, out, n_snps, ids=ids)
         print(f"wrote {args.gcta_out}.grm.bin/.grm.N.bin/.grm.id "
               f"(GCTA format, {out.shape[0]} ids)")
@@ -184,14 +184,14 @@ def cmd_ld(args) -> int:
     import numpy as np
 
     from . import from_bed, ld, ld_score, ld_windowed
+    from .io.bed import read_bim
 
     g = from_bed(args.bed)
     if args.score:
         sc = ld_score(g, window=args.window or 512,
                       adjusted=not args.no_adjust)
-        with open(args.bed[:-4] + ".bim") as fh:
-            ids = [ln.split()[1] for ln in fh if ln.strip()]
-        out = args.out if args.out != "ld.npy" else "ldscore.tsv"
+        ids = [row[1] for row in read_bim(args.bed)]
+        out = args.out or "ldscore.tsv"
         with open(out, "w") as fh:
             fh.write("snp\tldscore\n")
             for sid, s in zip(ids, sc):
@@ -200,15 +200,16 @@ def cmd_ld(args) -> int:
               f"{args.window or 512}, "
               f"{'adjusted' if not args.no_adjust else 'raw'} r^2)")
         return 0
+    path = args.out or "ld.npy"
     if args.window:
         out = ld_windowed(g, window=args.window, squared=args.squared)
-        np.save(args.out, out)
-        print(f"wrote {args.out}: {out.shape[0]} x {args.window} banded LD "
+        np.save(path, out)
+        print(f"wrote {path}: {out.shape[0]} x {args.window} banded LD "
               f"{'r^2' if args.squared else 'r'} (partner = snp+1+d)")
         return 0
     out = np.asarray(ld(g, squared=args.squared))
-    np.save(args.out, out)
-    print(f"wrote {args.out}: {out.shape[0]}^2 LD "
+    np.save(path, out)
+    print(f"wrote {path}: {out.shape[0]}^2 LD "
           f"{'r^2' if args.squared else 'r'}")
     return 0
 
@@ -299,8 +300,9 @@ def cmd_gwas(args) -> int:
         from .gwas import gwas_mixed, gwas_mixed_loco
 
         if args.loco:
-            chrom = np.array([ln.split()[0] for ln in
-                              open(args.bed[:-4] + ".bim") if ln.strip()])
+            from .io.bed import read_bim
+
+            chrom = np.array([row[0] for row in read_bim(args.bed)])
             res = gwas_mixed_loco(g, y, chrom, h2=args.h2)
         else:
             res = gwas_mixed(g, y, h2=args.h2)
@@ -362,8 +364,9 @@ def cmd_score(args) -> int:
     alpha = np.asarray(alpha)
     freq = np.asarray(freq)
 
-    with open(args.bed[:-4] + ".bim") as fh:
-        bim = [ln.split() for ln in fh if ln.strip()]
+    from .io.bed import read_bim, read_fam_ids
+
+    bim = read_bim(args.bed)
     if len(bim) != len(alpha):
         raise SystemExit(f"effects file has {len(alpha)} SNPs but the panel "
                          f"has {len(bim)} — panels must share the SNP set")
@@ -376,8 +379,10 @@ def cmd_score(args) -> int:
 
     g = from_bed(args.bed)
     scores = predict(g, alpha, freq)
-    with open(args.bed[:-4] + ".fam") as fh:
-        ids = [tuple(ln.split()[:2]) for ln in fh if ln.strip()]
+    ids = read_fam_ids(args.bed)
+    if len(ids) != len(scores):
+        raise SystemExit(f".fam has {len(ids)} ids but the panel has "
+                         f"{len(scores)} individuals")
     with open(args.out, "w") as fh:
         fh.write("fid\tiid\tscore\n")
         for (fid, iid), s in zip(ids, scores):
@@ -476,6 +481,7 @@ def cmd_pca(args) -> int:
 
     from . import from_bed
     from .gblup import randomized_grm_pca
+    from .io.bed import read_fam_ids
 
     g = from_bed(args.bed)
     w, v = randomized_grm_pca(g, k=args.k, oversample=args.oversample,
@@ -483,8 +489,7 @@ def cmd_pca(args) -> int:
     # randomized_grm_pca eigendecomposes the UNSCALED centered GRM
     # Z_c Z_cᵀ; GCTA reports eigenvalues of the sigma2-normalized matrix.
     w = w / float(g.sigma2)
-    with open(args.bed[:-4] + ".fam") as fh:
-        ids = [tuple(ln.split()[:2]) for ln in fh if ln.strip()]
+    ids = read_fam_ids(args.bed)
     if len(ids) != v.shape[0]:
         raise SystemExit(f".fam has {len(ids)} ids but the panel has "
                          f"{v.shape[0]} individuals")
@@ -585,7 +590,9 @@ def main(argv=None) -> int:
                    help="--score: raw r^2 instead of GCTA's adjusted "
                         "r^2 - (1-r^2)/(n-2)")
     l.add_argument("bed")
-    l.add_argument("-o", "--out", default="ld.npy")
+    l.add_argument("-o", "--out", default=None,
+                   help="output path (default ld.npy, or ldscore.tsv "
+                        "with --score)")
 
     ing = sub.add_parser("ingest")
     ing.add_argument("bed")

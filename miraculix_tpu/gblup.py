@@ -392,8 +392,7 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
         # .bim, backsolved ALT-dosage effect, training allele frequency
         alpha = snp_effects(g, res)
         freq = np.asarray(g.freq, np.float64)
-        with open(bed_path[:-4] + ".bim") as fh:
-            bim = [ln.split() for ln in fh if ln.strip()]
+        bim = bedio.read_bim(bed_path)
         if len(bim) != len(alpha):
             raise SystemExit(f".bim has {len(bim)} SNPs but the panel has "
                              f"{len(alpha)} — fileset out of sync")

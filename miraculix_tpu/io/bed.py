@@ -171,6 +171,26 @@ def write_bed(path: str, geno: np.ndarray) -> None:
             fh.write(f"1 snp{s} 0 {s + 1} A B\n")
 
 
+def _fileset_path(path: str, ext: str) -> str:
+    """Companion-file path of a PLINK fileset member (.bed -> .bim/.fam)."""
+    return (path[:-4] if path.endswith((".bed", ".bim", ".fam")) else path) + ext
+
+
+def read_bim(path: str) -> list:
+    """Rows of the fileset's .bim as token lists
+    [chrom, id, cM, bp, A1, A2] (whitespace-split, blank lines dropped) —
+    the variant table of read_plink.jl:179-183.  ``path`` may be the .bed."""
+    with open(_fileset_path(path, ".bim")) as fh:
+        return [ln.split() for ln in fh if ln.strip()]
+
+
+def read_fam_ids(path: str) -> list:
+    """(FID, IID) pairs from the fileset's .fam (the sample table,
+    read_plink.jl:179-183).  ``path`` may be the .bed."""
+    with open(_fileset_path(path, ".fam")) as fh:
+        return [tuple(ln.split()[:2]) for ln in fh if ln.strip()]
+
+
 def read_freq(path: str) -> np.ndarray:
     """Read a .freq file: whitespace table, frequency in the second column
     (reference read_plink.jl:read_freq)."""

@@ -834,9 +834,13 @@ def dgemm(
             interpret=interpret, as_numpy=True,
         )[:rows]
         bc = np.asarray(b, np.float64)
+        # user centering: take the caller's ORIGINAL vector, not user_vec —
+        # _resolve_center round-tripped that through jnp.asarray, which
+        # quantizes an f64 vector to f32 whenever x64 is off
+        uvec64 = (np.asarray(center, np.float64) if mode == "user" else None)
         if mode in ("rowmeans", "user"):
-            cvec = np.asarray(2.0 * g.freq if mode == "rowmeans"
-                              else user_vec, np.float64)
+            cvec = (np.asarray(2.0 * g.freq, np.float64)
+                    if mode == "rowmeans" else uvec64)
             if trans == "n":
                 c = c - (cvec @ bc)[None, :]
             else:
@@ -853,7 +857,7 @@ def dgemm(
             if mode == "colmeans":
                 cent = np.asarray(2.0 * g.pseudo_freq, np.float64)[mi]
             elif mode == "user":
-                cent = np.asarray(user_vec, np.float64)[ms]
+                cent = uvec64[ms]
             else:
                 cent = np.asarray(2.0 * g.freq, np.float64)[ms]
             if trans == "n":

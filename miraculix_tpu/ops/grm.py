@@ -523,16 +523,18 @@ def ld_score(
     """
     import numpy as np
 
-    band = np.asarray(ld_windowed(g, window, row_block=row_block,
-                                  squared=True), np.float64)
     snps, n = g.snps, g.indiv
+    window = min(window, max(snps - 1, 1))
+    band = ld_windowed(g, window, row_block=row_block, squared=True)
     if adjusted:
         if n < 3:
             raise ValueError("adjusted LD scores need >= 3 individuals")
-        valid = (np.arange(snps)[:, None] + 1
-                 + np.arange(window)[None, :]) < snps
-        band = np.where(valid, band - (1.0 - band) / (n - 2), 0.0)
-    score = 1.0 + band.sum(axis=1)
+        # in place on the f32 band (O(snps*window) is the whole footprint);
+        # out-of-panel partners stay exactly 0
+        band -= (1.0 - band) / np.float32(n - 2)
+        for d in range(window):
+            band[max(snps - d - 1, 0):, d] = 0.0
+    score = 1.0 + band.sum(axis=1, dtype=np.float64)
     for d in range(window):  # incoming pairs: band[s-d-1, d] contributes to s
         score[d + 1:] += band[: snps - d - 1, d]
     return score

@@ -132,7 +132,15 @@ def _assemble_invert_tri_device(dr, dc, dv, pad_idx, *, nb, bs, lower,
             bot = jnp.concatenate([low, di], axis=-1)
             x = jnp.concatenate([top, bot], axis=-2)
             h *= 2
-    x = x.reshape(nb, p2, p2)[:, :bs, :bs]
+        x = x.reshape(nb, p2, p2)
+        # one Newton step X <- X(2I - T X): the doubling's f32 forward
+        # error compounds with block condition; Newton squares the residual
+        # toward the f32 STORAGE floor (~kappa*u), the same floor the
+        # host-f64-then-cast inverse has — so ill-conditioned relationship
+        # blocks lose nothing vs the host path (two batched MXU matmuls)
+        eye2 = 2.0 * jnp.eye(p2, dtype=x.dtype)
+        x = jnp.matmul(x, eye2[None] - jnp.matmul(t, x))
+    x = x[:, :bs, :bs]
     return jnp.swapaxes(x, 1, 2) if not lower else x
 
 

@@ -272,12 +272,14 @@ assert not jax.config.jax_enable_x64
 g = bed.simulate_genotypes(100, 2000, seed=13, missing_rate=0.03)
 gm = mx.from_dense(g, keep_missing_info=True)
 b = np.random.default_rng(1).standard_normal((2000, 4))
-for center in (False, True):
+user = np.random.default_rng(2).standard_normal(2000)  # f64 user centers
+for center in (False, True, user):
     c = mx.dgemm(gm, b, trans="n", center=center, precision="f64",
-                 ignore_missings=not center)
+                 ignore_missings=center is False)
     assert isinstance(c, np.ndarray) and c.dtype == np.float64, type(c)
     want = ref_impl.dgemm_oracle(g, b, np.asarray(gm.freq, np.float64),
-                                 center=center, respect_missings=center)
+                                 center=center,
+                                 respect_missings=center is not False)
     err = np.abs(c - want).max() / np.abs(want).max()
     assert err < 1e-12, (center, err)
 print("ok")

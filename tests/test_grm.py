@@ -273,3 +273,9 @@ def test_ld_score_matches_dense_oracle(tmp_path, capsys):
     np.testing.assert_allclose(
         np.array([float(x[1]) for x in rows]),
         ld_score(mx.from_dense(geno), window=window), rtol=1e-4)
+
+    # window >= snps must clamp, not crash (the CLI default window is 512
+    # on arbitrarily small panels), and equal the all-pairs score
+    got_all = ld_score(gm, window=snps + 64, adjusted=False)
+    want_all = np.ones(snps) + r2.sum(axis=0) - np.diag(r2)
+    np.testing.assert_allclose(got_all, want_all, rtol=2e-4, atol=2e-4)
