@@ -274,6 +274,13 @@ def cmd_gwas(args) -> int:
     if args.loco and not args.mixed:
         raise SystemExit("--loco requires --mixed (it modifies the "
                          "mixed-model GRM, not the linear/logistic scans)")
+    from .io.bed import read_bim
+
+    bim = read_bim(args.bed)
+    snp_id = [row[1] for row in bim]
+    chrom_of = [row[0] for row in bim]
+    pos_of = [row[3] for row in bim]
+
     if args.logistic:
         from .gwas import gwas_logistic
 
@@ -288,9 +295,10 @@ def cmd_gwas(args) -> int:
                                  "phenotype")
         res = gwas_logistic(g, yb)
         with open(args.out, "w") as fh:
-            fh.write("snp\tbeta\tse\tz\tp\n")
+            fh.write("chr\tsnp\tbp\tbeta\tse\tz\tp\n")
             for i in range(len(res.beta)):
-                fh.write(f"{i}\t{res.beta[i]:.6g}\t{res.se[i]:.6g}\t"
+                fh.write(f"{chrom_of[i]}\t{snp_id[i]}\t{pos_of[i]}\t"
+                         f"{res.beta[i]:.6g}\t{res.se[i]:.6g}\t"
                          f"{res.t[i]:.6g}\t{res.p[i]:.6g}\n")
         top = np.argsort(res.p)[:5]
         print(f"wrote {args.out}: {len(res.beta)} SNPs (logistic score); "
@@ -300,16 +308,14 @@ def cmd_gwas(args) -> int:
         from .gwas import gwas_mixed, gwas_mixed_loco
 
         if args.loco:
-            from .io.bed import read_bim
-
-            chrom = np.array([row[0] for row in read_bim(args.bed)])
-            res = gwas_mixed_loco(g, y, chrom, h2=args.h2)
+            res = gwas_mixed_loco(g, y, np.array(chrom_of), h2=args.h2)
         else:
             res = gwas_mixed(g, y, h2=args.h2)
         with open(args.out, "w") as fh:
-            fh.write("snp\tbeta\tchi2\tp\n")
+            fh.write("chr\tsnp\tbp\tbeta\tchi2\tp\n")
             for i in range(len(res.beta)):
-                fh.write(f"{i}\t{res.beta[i]:.6g}\t{res.chi2[i]:.6g}\t"
+                fh.write(f"{chrom_of[i]}\t{snp_id[i]}\t{pos_of[i]}\t"
+                         f"{res.beta[i]:.6g}\t{res.chi2[i]:.6g}\t"
                          f"{res.p[i]:.6g}\n")
         top = np.argsort(res.p)[:5]
         print(f"wrote {args.out}: {len(res.beta)} SNPs, GRAMMAR-gamma "
@@ -318,9 +324,10 @@ def cmd_gwas(args) -> int:
         return 0
     res = gwas_linear(g, y)
     with open(args.out, "w") as fh:
-        fh.write("snp\tbeta\tse\tt\tp\n")
+        fh.write("chr\tsnp\tbp\tbeta\tse\tt\tp\n")
         for i in range(len(res.beta)):
-            fh.write(f"{i}\t{res.beta[i]:.6g}\t{res.se[i]:.6g}\t"
+            fh.write(f"{chrom_of[i]}\t{snp_id[i]}\t{pos_of[i]}\t"
+                     f"{res.beta[i]:.6g}\t{res.se[i]:.6g}\t"
                      f"{res.t[i]:.6g}\t{res.p[i]:.6g}\n")
     top = np.argsort(res.p)[:5]
     print(f"wrote {args.out}: {len(res.beta)} SNPs, df={res.df}; "

@@ -235,3 +235,47 @@ def test_gwas_mixed_loco_matches_dense(rng):
     assert res.chi2[causal] > res_full.chi2[causal]
     # and the causal SNP is the top hit under LOCO
     assert np.argmax(res.chi2) == causal
+
+
+def test_cli_gwas_writes_variant_ids(tmp_path, capsys):
+    """CLI gwas TSVs carry chr/snp/bp from the .bim (downstream tools key
+    on variant ids, not row indices), for all three scan types."""
+    import numpy as np
+
+    from miraculix_tpu import cli
+    from miraculix_tpu.io import bed as bedio
+
+    geno = bedio.simulate_genotypes(120, 300, seed=3)
+    rng = np.random.default_rng(0)
+    y = geno[:, 7] * 0.8 + rng.standard_normal(120)
+    p = str(tmp_path / "g.bed")
+    bedio.write_bed(p, geno)
+    fam = open(p[:-4] + ".fam").read().splitlines()
+    with open(p[:-4] + ".fam", "w") as fh:
+        for k, ln in enumerate(fam):
+            parts = ln.split()
+            parts[5] = f"{y[k]:.6f}"
+            fh.write(" ".join(parts) + "\n")
+
+    out = str(tmp_path / "scan.tsv")
+    assert cli.main(["gwas", p, "-o", out]) == 0
+    rows = [ln.rstrip("\n").split("\t") for ln in open(out)]
+    assert rows[0] == ["chr", "snp", "bp", "beta", "se", "t", "p"]
+    assert len(rows) == 1 + 300 and rows[1][1] == "snp0"
+
+    assert cli.main(["gwas", p, "-o", out, "--mixed"]) == 0
+    rows = [ln.rstrip("\n").split("\t") for ln in open(out)]
+    assert rows[0] == ["chr", "snp", "bp", "beta", "chi2", "p"]
+    assert len(rows) == 1 + 300
+
+    yb = (y > np.median(y)).astype(int) + 1   # plink 1/2 coding
+    with open(p[:-4] + ".fam", "w") as fh:
+        for k, ln in enumerate(fam):
+            parts = ln.split()
+            parts[5] = str(yb[k])
+            fh.write(" ".join(parts) + "\n")
+    assert cli.main(["gwas", p, "-o", out, "--logistic"]) == 0
+    rows = [ln.rstrip("\n").split("\t") for ln in open(out)]
+    assert rows[0] == ["chr", "snp", "bp", "beta", "se", "z", "p"]
+    assert len(rows) == 1 + 300
+    capsys.readouterr()
