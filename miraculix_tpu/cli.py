@@ -445,7 +445,7 @@ def cmd_reml(args) -> int:
     import numpy as np
 
     from . import from_bed
-    from .gblup import estimate_h2_he, estimate_h2_reml
+    from .gblup import estimate_bivar_reml, estimate_h2_he, estimate_h2_reml
     from .streamed import StreamedGeno
 
     if args.stream_chunk > 0:
@@ -458,6 +458,38 @@ def cmd_reml(args) -> int:
     if not keep.all():
         raise SystemExit(f"{int((~keep).sum())} individuals have missing "
                          "phenotype (-9); subset the panel first")
+    if args.bivar:
+        # second trait: one value per .fam row, or "FID IID value" rows
+        from .io.bed import read_fam_ids
+
+        rows = [ln.split() for ln in open(args.bivar) if ln.strip()]
+        if rows and len(rows[0]) >= 3:
+            by_id = {(r[0], r[1]): float(r[2]) for r in rows}
+            ids = read_fam_ids(args.bed)
+            missing = [i for i in ids if i not in by_id]
+            if missing:
+                raise SystemExit(f"--bivar file lacks {len(missing)} of the "
+                                 "panel's FID/IID pairs")
+            y2 = np.array([by_id[i] for i in ids])
+        else:
+            y2 = np.array([float(r[0]) for r in rows])
+            if len(y2) != len(y):
+                raise SystemExit(f"--bivar file has {len(y2)} values but "
+                                 f"the panel has {len(y)} individuals")
+        rg, det = estimate_bivar_reml(g, y, y2, n_probes=args.probes,
+                                      verbose=args.verbose)
+        print("Source\tEstimate\tSE")
+        print(f"rG\t{rg:.4f}\t{det['se_rg']:.4f}")
+        print(f"h2 (trait 1)\t{det['h2_1']:.4f}\t{det['se_h2_1']:.4f}")
+        print(f"h2 (trait 2)\t{det['h2_2']:.4f}\t{det['se_h2_2']:.4f}")
+        print(f"components (standardized): Sg=[{det['g11']:.4f}, "
+              f"{det['g12']:.4f}; ., {det['g22']:.4f}]  "
+              f"Se=[{det['e11']:.4f}, {det['e12']:.4f}; ., "
+              f"{det['e22']:.4f}]")
+        print(f"(bivariate AI-REML: {det['iterations']} iterations, "
+              f"converged={det['converged']}, {det['cg_iterations']} CG "
+              f"iterations, {det['n_probes']} trace probes)")
+        return 0
     if args.method == "he":
         h2, det = estimate_h2_he(g, y)
         print(f"HE h2 = {h2:.4f}")
@@ -657,6 +689,11 @@ def main(argv=None) -> int:
     rm.add_argument("--probes", type=int, default=16,
                     help="Hutchinson trace probes per AI step")
     rm.add_argument("--stream-chunk", type=int, default=0)
+    rm.add_argument("--bivar", default=None, metavar="PHENO2",
+                    help="bivariate REML (gcta --reml-bivar role): genetic "
+                         "correlation between the .fam phenotype and a "
+                         "second trait file ('FID IID value' rows, or one "
+                         "value per .fam line)")
     rm.add_argument("-v", "--verbose", action="store_true")
 
     ss = sub.add_parser("ssgblup", help="single-step GBLUP: pedigree + "

@@ -584,3 +584,125 @@ def test_cli_effects_out_and_score(tmp_path, capsys):
         cli.main(["score", p, eff, "-o", out])
     assert cli.main(["score", p, eff, "-o", out, "--force"]) == 0
     capsys.readouterr()
+
+
+def _simulate_bivar(geno, rg, h2a, h2b, seed):
+    """Correlated-QTL bivariate phenotypes; returns (y1, y2, realized
+    genetic correlation of the two breeding-value vectors)."""
+    rng = np.random.default_rng(seed)
+    n, snps = geno.shape
+    f = np.where(geno == 3, 0, geno).mean(axis=0) / 2.0
+    zc = geno.astype(np.float64) - 2 * f
+    zs = zc / np.sqrt(2 * (f * (1 - f)).sum())
+    a = rng.multivariate_normal(np.zeros(2), [[1, rg], [rg, 1]], size=snps)
+    u = zs @ a
+    u = u / u.std(axis=0)
+    rg_real = float(np.corrcoef(u[:, 0], u[:, 1])[0, 1])
+    e = rng.standard_normal((n, 2))
+    e = e / e.std(axis=0)
+    y1 = np.sqrt(h2a) * u[:, 0] + np.sqrt(1 - h2a) * e[:, 0]
+    y2 = np.sqrt(h2b) * u[:, 1] + np.sqrt(1 - h2b) * e[:, 1]
+    return y1, y2, rg_real
+
+
+def test_bivar_reml_matches_dense_oracle():
+    """estimate_bivar_reml with exact (identity) probes lands on the SAME
+    six variance components as a dense Nelder-Mead maximization of the
+    exact restricted likelihood — the full bivariate REML criterion."""
+    from scipy.optimize import minimize
+
+    n, snps = 120, 600
+    geno = bed.simulate_genotypes(n, snps, seed=8)
+    gm = mx.from_dense(geno)
+    y1, y2, _ = _simulate_bivar(geno, 0.6, 0.5, 0.4, seed=3)
+    f = np.where(geno == 3, 0, geno).mean(axis=0) / 2.0
+    zc = geno.astype(np.float64) - 2 * f
+    gs = zc @ zc.T / (2 * (f * (1 - f)).sum())
+    yt = np.stack([(y - y.mean()) / y.std() for y in (y1, y2)],
+                  axis=1).reshape(-1)
+    x = np.zeros((2 * n, 2))
+    x[0::2, 0] = 1.0
+    x[1::2, 1] = 1.0
+
+    def nll(th):
+        g11, g22, g12, e11, e22, e12 = th
+        sg = np.array([[g11, g12], [g12, g22]])
+        se = np.array([[e11, e12], [e12, e22]])
+        if (np.linalg.eigvalsh(sg)[0] < -1e-9
+                or np.linalg.eigvalsh(se)[0] <= 0):
+            return 1e10
+        v = np.kron(gs, sg) + np.kron(np.eye(n), se)
+        sign, logdet = np.linalg.slogdet(v)
+        if sign <= 0:
+            return 1e10
+        vi = np.linalg.inv(v)
+        xtvix = x.T @ vi @ x
+        s2, ld2 = np.linalg.slogdet(xtvix)
+        if s2 <= 0:
+            return 1e10
+        pmat = vi - vi @ x @ np.linalg.solve(xtvix, x.T @ vi)
+        return 0.5 * (logdet + ld2 + yt @ pmat @ yt)
+
+    res = minimize(nll, np.array([.5, .4, .2, .5, .6, .1]),
+                   method="Nelder-Mead",
+                   options={"maxiter": 4000, "xatol": 1e-6, "fatol": 1e-8})
+    rg, det = gblup.estimate_bivar_reml(gm, y1, y2, probes=np.eye(2 * n),
+                                        max_iter=60, tol=1e-6, cg_tol=1e-8)
+    ours = np.array([det[k] for k in ("g11", "g22", "g12",
+                                      "e11", "e22", "e12")])
+    assert det["exact_traces"] and det["converged"]
+    np.testing.assert_allclose(ours, res.x, atol=2e-3)
+    assert abs(rg - res.x[2] / np.sqrt(res.x[0] * res.x[1])) < 1e-2
+
+
+def test_bivar_reml_recovers_signal():
+    """Stochastic-probe run on a larger panel: rg tracks the REALIZED
+    genetic correlation, h2s land near truth, and independent traits give
+    a near-zero rg."""
+    n, snps = 600, 2000
+    geno = bed.simulate_genotypes(n, snps, seed=9)
+    gm = mx.from_dense(geno)
+    y1, y2, rg_real = _simulate_bivar(geno, 0.7, 0.5, 0.4, seed=4)
+    rg, det = gblup.estimate_bivar_reml(gm, y1, y2, n_probes=16, seed=0)
+    assert det["converged"]
+    assert abs(rg - rg_real) < 0.3, (rg, rg_real)
+    assert rg > 0.25
+    assert abs(det["h2_1"] - 0.5) < 0.3
+    assert abs(det["h2_2"] - 0.4) < 0.3
+
+    # independent traits (separate QTL draws): rg must be near zero
+    ya, _, _ = _simulate_bivar(geno, 0.0, 0.5, 0.5, seed=11)
+    _, yb, _ = _simulate_bivar(geno, 0.0, 0.5, 0.5, seed=12)
+    rg0, det0 = gblup.estimate_bivar_reml(gm, ya, yb, n_probes=16, seed=0)
+    assert abs(rg0) < 0.35, rg0
+
+
+def test_cli_reml_bivar(tmp_path, capsys):
+    """CLI reml --bivar: rG + per-trait h2 from a second-trait file (both
+    the FID/IID and bare-value formats)."""
+    from miraculix_tpu import cli
+
+    geno = bed.simulate_genotypes(200, 800, seed=15)
+    y1, y2, _ = _simulate_bivar(geno, 0.6, 0.5, 0.5, seed=2)
+    p = str(tmp_path / "b.bed")
+    bed.write_bed(p, geno)
+    fam = open(p[:-4] + ".fam").read().splitlines()
+    with open(p[:-4] + ".fam", "w") as fh:
+        for k, ln in enumerate(fam):
+            parts = ln.split()
+            parts[5] = f"{y1[k]:.6f}"
+            fh.write(" ".join(parts) + "\n")
+    p2 = str(tmp_path / "t2.txt")
+    with open(p2, "w") as fh:
+        for k, ln in enumerate(fam):
+            parts = ln.split()
+            fh.write(f"{parts[0]} {parts[1]} {y2[k]:.6f}\n")
+    assert cli.main(["reml", p, "--bivar", p2, "--probes", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "rG\t" in out and "bivariate AI-REML" in out
+
+    p3 = str(tmp_path / "t2b.txt")
+    with open(p3, "w") as fh:
+        fh.writelines(f"{v:.6f}\n" for v in y2)
+    assert cli.main(["reml", p, "--bivar", p3, "--probes", "8"]) == 0
+    capsys.readouterr()
