@@ -187,6 +187,23 @@ def cmd_ld(args) -> int:
     from .io.bed import read_bim
 
     g = from_bed(args.bed)
+    if args.prune_r2 is not None:
+        from . import ld_prune
+
+        keep = ld_prune(g, window=args.window or 512,
+                        r2_threshold=args.prune_r2)
+        ids = [row[1] for row in read_bim(args.bed)]
+        base = args.out or args.bed[:-4]
+        if base.endswith(".npy"):
+            base = base[:-4]
+        with open(base + ".prune.in", "w") as fh:
+            fh.writelines(f"{sid}\n" for sid, k in zip(ids, keep) if k)
+        with open(base + ".prune.out", "w") as fh:
+            fh.writelines(f"{sid}\n" for sid, k in zip(ids, keep) if not k)
+        print(f"wrote {base}.prune.in ({int(keep.sum())} kept) / "
+              f".prune.out ({int((~keep).sum())} dropped); window "
+              f"{args.window or 512}, r^2 > {args.prune_r2}")
+        return 0
     if args.score:
         sc = ld_score(g, window=args.window or 512,
                       adjusted=not args.no_adjust)
@@ -436,6 +453,22 @@ def cmd_qc(args) -> int:
           f"{int(keep_i.sum())}/{len(keep_i)} individuals "
           f"(maf>={args.maf}, geno<={args.geno}, mind<={args.mind}"
           f"{f', hwe>={args.hwe}' if args.hwe > 0 else ''})")
+    if args.rel_cutoff is not None:
+        import numpy as np
+
+        from . import from_bed, grm
+        from .io.bed import read_fam_ids
+        from .qc import rel_cutoff
+
+        gmat = np.asarray(grm(from_bed(args.out)))
+        keep = rel_cutoff(gmat, cutoff=args.rel_cutoff)
+        ids = read_fam_ids(args.out)
+        base = args.out[:-4]
+        with open(base + ".rel.id", "w") as fh:
+            fh.writelines(f"{f}\t{i}\n"
+                          for (f, i), k in zip(ids, keep) if k)
+        print(f"wrote {base}.rel.id: {int(keep.sum())}/{len(keep)} pass "
+              f"--rel-cutoff {args.rel_cutoff}")
     return 0
 
 
@@ -625,6 +658,10 @@ def main(argv=None) -> int:
     l.add_argument("--score", action="store_true",
                    help="per-SNP LD scores (gcta --ld-score role; TSV "
                         "output, uses --window or 512)")
+    l.add_argument("--prune-r2", type=float, default=None, metavar="R2",
+                   help="greedy pairwise LD pruning (plink --indep-pairwise"
+                        " role): write .prune.in/.prune.out SNP-id lists "
+                        "(uses --window or 512)")
     l.add_argument("--no-adjust", action="store_true",
                    help="--score: raw r^2 instead of GCTA's adjusted "
                         "r^2 - (1-r^2)/(n-2)")
@@ -681,6 +718,10 @@ def main(argv=None) -> int:
                      help="drop individuals with missing rate > MIND")
     qcp.add_argument("--hwe", type=float, default=0.0,
                      help="drop SNPs with HWE chi2 p < HWE")
+    qcp.add_argument("--rel-cutoff", type=float, default=None, metavar="R",
+                     help="after filtering, greedily select an unrelated "
+                          "subset (plink --rel-cutoff role): write "
+                          "OUT.rel.id with the kept FID/IID pairs")
 
     rm = sub.add_parser("reml", help="variance components / h2 from .fam "
                         "phenotypes (gcta --reml role)")

@@ -117,3 +117,34 @@ def test_qc_hwe_filter_drops_het_excess(tmp_path):
     keep_s, _ = qc.qc_filter(p, out, hwe=1e-6)
     assert not keep_s[7]
     assert keep_s.sum() >= 55  # HWE-simulated SNPs mostly survive
+
+
+def test_cli_qc_rel_cutoff_and_ld_prune(tmp_path, capsys):
+    """CLI: qc --rel-cutoff writes OUT.rel.id; ld --prune-r2 writes
+    .prune.in/.prune.out partitioning the SNP ids."""
+    import numpy as np
+
+    from miraculix_tpu import cli
+    from miraculix_tpu.io import bed as bedio
+
+    rng = np.random.default_rng(4)
+    base = bedio.simulate_genotypes(60, 400, seed=6)
+    geno = np.concatenate([base, base[:10]], axis=0)  # 10 duplicated rows
+    p = str(tmp_path / "q.bed")
+    bedio.write_bed(p, geno)
+
+    out = str(tmp_path / "clean.bed")
+    assert cli.main(["qc", p, "-o", out, "--rel-cutoff", "0.5"]) == 0
+    msg = capsys.readouterr().out
+    assert ".rel.id" in msg
+    kept = [ln.split() for ln in open(out[:-4] + ".rel.id")]
+    # the 10 duplicate pairs violate the cutoff: at most one of each pair
+    assert 55 <= len(kept) <= 65
+
+    assert cli.main(["ld", p, "--prune-r2", "0.3", "--window", "64",
+                     "-o", str(tmp_path / "pr")]) == 0
+    capsys.readouterr()
+    kept_ids = open(str(tmp_path / "pr") + ".prune.in").read().split()
+    drop_ids = open(str(tmp_path / "pr") + ".prune.out").read().split()
+    assert len(kept_ids) + len(drop_ids) == 400
+    assert set(kept_ids).isdisjoint(drop_ids) and len(kept_ids) > 0
