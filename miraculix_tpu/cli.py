@@ -555,7 +555,12 @@ def cmd_pca(args) -> int:
     from .gblup import randomized_grm_pca
     from .io.bed import read_fam_ids
 
-    g = from_bed(args.bed)
+    if args.stream_chunk > 0:
+        from .streamed import StreamedGeno
+
+        g = StreamedGeno.from_bed(args.bed, chunk_snps=args.stream_chunk)
+    else:
+        g = from_bed(args.bed)
     w, v = randomized_grm_pca(g, k=args.k, oversample=args.oversample,
                               power_iters=args.power_iters, seed=args.seed)
     # randomized_grm_pca eigendecomposes the UNSCALED centered GRM
@@ -779,6 +784,9 @@ def main(argv=None) -> int:
     pc.add_argument("--oversample", type=int, default=8)
     pc.add_argument("--power-iters", type=int, default=2)
     pc.add_argument("--seed", type=int, default=0)
+    pc.add_argument("--stream-chunk", type=int, default=0,
+                    help="SNP chunk size for the out-of-core StreamedGeno "
+                         "path (0 = in-memory)")
 
     args = p.parse_args(argv)
     return {
