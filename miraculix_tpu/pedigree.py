@@ -280,11 +280,27 @@ def _sp_diag(rows, cols, vals, n):
                                num_segments=n)
 
 
+@jax.tree_util.register_pytree_node_class
 class SparseCOO:
     """Device-resident sparse matrix in coalesced COO with a segment-sum
     matvec — the TPU shape of a sparse SpMV (contiguous gathers + one
     monotonic segmented reduction; no scalar loop).  Symmetric matrices
-    store both triangles so 'n' and 't' are the same kernel."""
+    store both triangles so 'n' and 't' are the same kernel.
+
+    Registered as a pytree so jitted functions take it as an ARGUMENT
+    instead of closure-capturing it — captured arrays embed as HLO
+    constants, which bloats the serialized program (a 200K-animal ssGBLUP
+    MME exceeded the remote compiler's request limit)."""
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.vals), (self.shape, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        obj.rows, obj.cols, obj.vals = leaves
+        obj.shape, obj.nnz = aux
+        return obj
 
     def __init__(self, rows, cols, vals, shape: Tuple[int, int],
                  dtype=jnp.float32):

@@ -60,6 +60,7 @@ def _split_coo(rows, cols, vals, group, pos):
     return out
 
 
+@jax.tree_util.register_pytree_node_class
 class SingleStepHInv:
     """Matrix-free H^-1 over all pedigree animals.
 
@@ -68,7 +69,30 @@ class SingleStepHInv:
     ``blend`` is the identity fraction mixed into G (VanRaden 2008's
     0.95*G + 0.05*I default guards a singular G); ``tau``/``omega`` are
     the Aguilar scaling knobs (1, 1 = standard ssGBLUP).
+
+    Registered as a pytree (arrays = leaves, config = static aux) so the
+    MME jits take it as an argument — closure capture embedded the sparse
+    blocks and the packed panel as HLO constants, whose serialized size
+    broke the remote compiler at 200K animals (HTTP 413).
     """
+
+    _LEAVES = ("g", "ainv", "a11", "a12", "a22", "geno_rows",
+               "_gw_diag", "_gw_minv", "_a11_minv")
+    _AUX = ("n", "n1", "n2", "tau", "omega", "blend",
+            "inner_tol", "inner_maxiter", "_sigma2")
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, k) for k in self._LEAVES),
+                tuple(getattr(self, k) for k in self._AUX))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        for k, v in zip(cls._LEAVES, leaves):
+            setattr(obj, k, v)
+        for k, v in zip(cls._AUX, aux):
+            setattr(obj, k, v)
+        return obj
 
     def __init__(self, sire, dam, g: GenoMatrix, geno_ids, *,
                  blend: float = 0.05, tau: float = 1.0, omega: float = 1.0,
@@ -204,18 +228,8 @@ def ssgblup(
     xj = jnp.asarray(x, jnp.float32)
     yj = jnp.asarray(y, jnp.float32)
 
-    def w_apply(u):                     # W u: per-record animal effect
-        return u[obs]
-
     def wt_apply(r):                    # W' r: sum records into animals
         return jax.ops.segment_sum(r, obs, num_segments=n)
-
-    def mme(z):
-        beta, u = z[:p], z[p:]
-        fitted = xj @ beta + w_apply(u)
-        top = xj.T @ fitted
-        bottom = wt_apply(fitted) + lam * hinv.matvec(u)
-        return jnp.concatenate([top, bottom])
 
     rhs = jnp.concatenate([xj.T @ yj, wt_apply(yj)])
     counts = jax.ops.segment_sum(jnp.ones_like(yj), obs, num_segments=n)
@@ -223,9 +237,23 @@ def ssgblup(
                              counts + lam * hinv.diag_approx()])
     minv = 1.0 / dprec
 
+    # hinv/obs/xj/minv are jit ARGUMENTS (SingleStepHInv is a pytree):
+    # closure capture would embed the sparse blocks + packed panel as HLO
+    # constants (see class docstring)
+    @jax.jit
+    def run(hv, ob, x_, mv, b):
+        def mme(z):
+            beta, u = z[:p], z[p:]
+            fitted = x_ @ beta + u[ob]
+            top = x_.T @ fitted
+            bottom = (jax.ops.segment_sum(fitted, ob, num_segments=n)
+                      + lam * hv.matvec(u))
+            return jnp.concatenate([top, bottom])
+
+        return cg(mme, b, tol=tol, maxiter=maxiter, minv=mv)
+
     scale = float(jnp.linalg.norm(rhs))
-    run = jax.jit(lambda b: cg(mme, b, tol=tol, maxiter=maxiter, minv=minv))
-    res = run(rhs / scale)
+    res = run(hinv, obs, xj, minv, rhs / scale)
     z = np.asarray(res.x, np.float64) * scale
     return SSGBLUPResult(z[:p], z[p:], int(res.iterations),
                          float(jnp.max(res.residual_norm)) * scale)
@@ -242,20 +270,24 @@ def _mme_solver(hinv: SingleStepHInv, obs, xj, tol: float, maxiter: int):
     xdiag = jnp.sum(xj * xj, axis=0)
 
     @jax.jit
-    def solve(lam, rhs):
+    def solve_impl(hv, ob, x_, counts_, dapp_, xdiag_, lam, rhs):
+        # big operands arrive as pytree arguments, not captured constants
         def mme(z):
             beta, u = z[:p], z[p:]
-            fitted = xj @ beta + u[obs]
-            top = xj.T @ fitted
-            bottom = (jax.ops.segment_sum(fitted, obs, num_segments=n)
-                      + lam * hinv.matvec(u))
+            fitted = x_ @ beta + u[ob]
+            top = x_.T @ fitted
+            bottom = (jax.ops.segment_sum(fitted, ob, num_segments=n)
+                      + lam * hv.matvec(u))
             return jnp.concatenate([top, bottom])
 
-        minv = 1.0 / jnp.concatenate([xdiag, counts + lam * dapp])
+        minv = 1.0 / jnp.concatenate([xdiag_, counts_ + lam * dapp_])
         norm = jnp.linalg.norm(rhs, axis=0, keepdims=True)
         safe = jnp.where(norm > 0, norm, 1.0)
         r = cg(mme, rhs / safe, tol=tol, maxiter=maxiter, minv=minv)
         return r.x * safe, r.iterations
+
+    def solve(lam, rhs):
+        return solve_impl(hinv, obs, xj, counts, dapp, xdiag, lam, rhs)
 
     return solve
 

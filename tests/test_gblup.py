@@ -706,3 +706,24 @@ def test_cli_reml_bivar(tmp_path, capsys):
         fh.writelines(f"{v:.6f}\n" for v in y2)
     assert cli.main(["reml", p, "--bivar", p3, "--probes", "8"]) == 0
     capsys.readouterr()
+
+
+def test_bivar_reml_sharded_matches_single_chip():
+    """estimate_bivar_reml on a 1D-sharded container reproduces the
+    single-chip components (same probes, same fixed point)."""
+    from miraculix_tpu import parallel
+
+    n, snps = 64, 300
+    geno = bed.simulate_genotypes(n, snps, seed=17)
+    y1, y2, _ = _simulate_bivar(geno, 0.5, 0.5, 0.5, seed=6)
+    gm = mx.from_dense(geno)
+    sg = parallel.shard_genotypes(geno, parallel.make_mesh(8))
+    # same probes + same iteration count -> identical trajectories up to
+    # matvec rounding; 2 AI steps keep the virtual-mesh runtime sane
+    rg1, d1 = gblup.estimate_bivar_reml(gm, y1, y2, n_probes=4, seed=3,
+                                        max_iter=2, cg_tol=1e-6)
+    rg2, d2 = gblup.estimate_bivar_reml(sg, y1, y2, n_probes=4, seed=3,
+                                        max_iter=2, cg_tol=1e-6)
+    assert abs(rg1 - rg2) < 5e-3, (rg1, rg2)
+    for k in ("g11", "g22", "g12", "e11", "e22", "e12"):
+        assert abs(d1[k] - d2[k]) < 5e-3, (k, d1[k], d2[k])
