@@ -719,11 +719,11 @@ def test_bivar_reml_sharded_matches_single_chip():
     gm = mx.from_dense(geno)
     sg = parallel.shard_genotypes(geno, parallel.make_mesh(8))
     # same probes + same iteration count -> identical trajectories up to
-    # matvec rounding; 2 AI steps keep the virtual-mesh runtime sane
-    rg1, d1 = gblup.estimate_bivar_reml(gm, y1, y2, n_probes=4, seed=3,
-                                        max_iter=2, cg_tol=1e-6)
-    rg2, d2 = gblup.estimate_bivar_reml(sg, y1, y2, n_probes=4, seed=3,
-                                        max_iter=2, cg_tol=1e-6)
+    # matvec rounding; ONE AI step (both block CGs) keeps the virtual-mesh
+    # runtime sane — the point is container equality of the operator
+    kw = dict(n_probes=2, seed=3, max_iter=1, cg_tol=1e-4, cg_maxiter=200)
+    rg1, d1 = gblup.estimate_bivar_reml(gm, y1, y2, **kw)
+    rg2, d2 = gblup.estimate_bivar_reml(sg, y1, y2, **kw)
     assert abs(rg1 - rg2) < 5e-3, (rg1, rg2)
     for k in ("g11", "g22", "g12", "e11", "e22", "e12"):
         assert abs(d1[k] - d2[k]) < 5e-3, (k, d1[k], d2[k])
