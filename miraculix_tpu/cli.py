@@ -30,6 +30,14 @@ import time
 import numpy as np
 
 
+def _is_number(tok: str) -> bool:
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False
+
+
 def cmd_info(args) -> int:
     from .utils.logging import print_compile_info
 
@@ -190,9 +198,11 @@ def cmd_ld(args) -> int:
     if args.prune_r2 is not None:
         from . import ld_prune
 
+        bim = read_bim(args.bed)
         keep = ld_prune(g, window=args.window or 512,
-                        r2_threshold=args.prune_r2)
-        ids = [row[1] for row in read_bim(args.bed)]
+                        r2_threshold=args.prune_r2,
+                        chrom=np.array([row[0] for row in bim]))
+        ids = [row[1] for row in bim]
         base = args.out or args.bed[:-4]
         if base.endswith(".npy"):
             base = base[:-4]
@@ -496,19 +506,36 @@ def cmd_reml(args) -> int:
         from .io.bed import read_fam_ids
 
         rows = [ln.split() for ln in open(args.bivar) if ln.strip()]
-        if rows and len(rows[0]) >= 3:
-            by_id = {(r[0], r[1]): float(r[2]) for r in rows}
+        if rows and rows[0] and not _is_number(rows[0][-1]):
+            rows = rows[1:]          # header line
+        if not rows:
+            raise SystemExit("--bivar file has no data rows")
+        keyed = len(rows[0]) >= 3
+        if any(len(r) != len(rows[0]) for r in rows):
+            raise SystemExit("--bivar file is ragged (rows with differing "
+                             "column counts)")
+        try:
+            if keyed:
+                by_id = {(r[0], r[1]): float(r[2]) for r in rows}
+            else:
+                y2 = np.array([float(r[0]) for r in rows])
+        except ValueError as e:
+            raise SystemExit(f"--bivar file has a non-numeric phenotype "
+                             f"value: {e}")
+        if keyed:
             ids = read_fam_ids(args.bed)
             missing = [i for i in ids if i not in by_id]
             if missing:
                 raise SystemExit(f"--bivar file lacks {len(missing)} of the "
                                  "panel's FID/IID pairs")
             y2 = np.array([by_id[i] for i in ids])
-        else:
-            y2 = np.array([float(r[0]) for r in rows])
-            if len(y2) != len(y):
-                raise SystemExit(f"--bivar file has {len(y2)} values but "
-                                 f"the panel has {len(y)} individuals")
+        elif len(y2) != len(y):
+            raise SystemExit(f"--bivar file has {len(y2)} values but "
+                             f"the panel has {len(y)} individuals")
+        if (y2 == -9).any():
+            raise SystemExit(f"{int((y2 == -9).sum())} individuals have "
+                             "missing phenotype (-9) in the --bivar trait; "
+                             "subset the panel first")
         rg, det = estimate_bivar_reml(g, y, y2, n_probes=args.probes,
                                       verbose=args.verbose)
         print("Source\tEstimate\tSE")

@@ -65,6 +65,22 @@ def _grm_diag_of(g):
     return np.asarray(grm_diag(g, center=True, scale=False), np.float64)
 
 
+def _scaled_matvec_of(g):
+    """G_s · W for numpy [n, m] blocks on any container — the sigma2-scaled
+    batched matvec the REML machinery is built from.  The streamed path
+    stays in host numpy (no jnp round-trip: StreamedGeno.grm_matvec is
+    host-orchestrated already)."""
+    from .streamed import StreamedGeno
+
+    sigma2 = float(g.sigma2)
+    if isinstance(g, StreamedGeno):
+        return lambda w: np.asarray(g.grm_matvec(w.astype(np.float32)),
+                                    np.float64) / sigma2
+    raw = _grm_matvec_of(g)
+    return lambda w: np.asarray(raw(jnp.asarray(w, jnp.float32)),
+                                np.float64) / sigma2
+
+
 def randomized_grm_pca(
     g,
     k: int = 10,
@@ -547,14 +563,11 @@ def estimate_h2_reml(
     ``se_h2`` from the inverse AI matrix, convergence info, and the total
     CG iteration count.
     """
-    from .streamed import StreamedGeno
-
     n = g.indiv
     y = np.asarray(y, np.float64).reshape(n)
     yvar = float(y.var())
     yt = (y - y.mean()) / max(y.std(), 1e-12)
     sigma2 = float(g.sigma2)
-    streamed = isinstance(g, StreamedGeno)
 
     cols = [np.ones((n, 1))]
     if covariates is not None:
@@ -576,15 +589,7 @@ def estimate_h2_reml(
         exact_traces = (z.shape[1] == n
                         and np.array_equal(z, np.eye(n)))
 
-    gmv_raw = _grm_matvec_of(g)
-
-    def gs_mv(w):
-        """G_s · w (scaled GRM), numpy in/out."""
-        if streamed:
-            return np.asarray(gmv_raw(w.astype(np.float32)),
-                              np.float64) / sigma2
-        return np.asarray(gmv_raw(jnp.asarray(w, jnp.float32)),
-                          np.float64) / sigma2
+    gs_mv = _scaled_matvec_of(g)
 
     solve = _ridge_solver(g, cg_tol, cg_maxiter)
 
@@ -778,8 +783,6 @@ def estimate_bivar_reml(
     standardized-scale components, per-trait h², delta-method SEs from
     the inverse AI matrix, and convergence/CG counters.
     """
-    from .streamed import StreamedGeno
-
     n = g.indiv
     y1 = np.asarray(y1, np.float64).reshape(n)
     y2 = np.asarray(y2, np.float64).reshape(n)
@@ -789,16 +792,7 @@ def estimate_bivar_reml(
     yt1 = (y1 - y1.mean()) / max(y1.std(), 1e-12)
     yt2 = (y2 - y2.mean()) / max(y2.std(), 1e-12)
     sigma2 = float(g.sigma2)
-    streamed = isinstance(g, StreamedGeno)
-    gmv_raw = _grm_matvec_of(g)
-
-    def gs_mv(w):
-        """G_s · w for numpy [n, m] — one batched packed pass."""
-        if streamed:
-            return np.asarray(gmv_raw(w.astype(np.float32)),
-                              np.float64) / sigma2
-        return np.asarray(gmv_raw(jnp.asarray(w, jnp.float32)),
-                          np.float64) / sigma2
+    gs_mv = _scaled_matvec_of(g)
 
     dG = _grm_diag_of(g) / sigma2       # exact diag(G_s), for Jacobi
 

@@ -545,11 +545,16 @@ def ld_prune(
     window: int = 512,
     r2_threshold: float = 0.2,
     row_block: int = 4096,
+    chrom=None,
 ):
     """Greedy pairwise LD pruning (the `plink --indep-pairwise` workflow):
     scan SNPs left to right; for every still-kept pair within ``window``
     whose r² exceeds ``r2_threshold``, drop the member with the LOWER MAF
     (ties drop the later SNP).  Returns a boolean keep-mask [snps].
+
+    ``chrom`` (per-SNP labels, any dtype): pairs spanning a chromosome
+    boundary are never pruning candidates — plink windows per chromosome,
+    and cross-chromosome r² is sampling noise at small n.
 
     Runs off the banded r² of :func:`ld_windowed` (O(snps x window) device
     work + memory), so it scales to panels whose full LD matrix could
@@ -559,6 +564,14 @@ def ld_prune(
 
     band2 = ld_windowed(g, window=window, row_block=row_block, squared=True)
     snps = g.snps
+    if chrom is not None:
+        chrom = np.asarray(chrom)
+        if chrom.shape[0] != snps:
+            raise ValueError(f"chrom has {chrom.shape[0]} labels for "
+                             f"{snps} SNPs")
+        partner = np.minimum(np.arange(snps)[:, None] + 1
+                             + np.arange(window)[None, :], snps - 1)
+        band2 = np.where(chrom[partner] == chrom[:, None], band2, 0.0)
     f = np.asarray(g.freq, np.float64)
     maf = np.minimum(f, 1.0 - f)
     keep = np.ones(snps, bool)

@@ -727,3 +727,42 @@ def test_bivar_reml_sharded_matches_single_chip():
     assert abs(rg1 - rg2) < 5e-3, (rg1, rg2)
     for k in ("g11", "g22", "g12", "e11", "e22", "e12"):
         assert abs(d1[k] - d2[k]) < 5e-3, (k, d1[k], d2[k])
+
+
+def test_cli_reml_bivar_rejects_bad_inputs(tmp_path, capsys):
+    """--bivar: -9 sentinel refused, header tolerated, ragged file refused."""
+    import pytest as _pytest
+
+    from miraculix_tpu import cli
+
+    geno = bed.simulate_genotypes(60, 300, seed=25)
+    y1, y2, _ = _simulate_bivar(geno, 0.5, 0.5, 0.5, seed=7)
+    p = str(tmp_path / "m.bed")
+    bed.write_bed(p, geno)
+    fam = open(p[:-4] + ".fam").read().splitlines()
+    with open(p[:-4] + ".fam", "w") as fh:
+        for k, ln in enumerate(fam):
+            parts = ln.split()
+            parts[5] = f"{y1[k]:.6f}"
+            fh.write(" ".join(parts) + "\n")
+
+    bad = str(tmp_path / "bad.txt")
+    with open(bad, "w") as fh:
+        fh.write("-9\n" * 60)
+    with _pytest.raises(SystemExit, match="missing phenotype"):
+        cli.main(["reml", p, "--bivar", bad, "--probes", "4"])
+
+    ragged = str(tmp_path / "rag.txt")
+    with open(ragged, "w") as fh:
+        fh.write("F0 I0 1.0\nF1 I1\n")
+    with _pytest.raises(SystemExit, match="ragged"):
+        cli.main(["reml", p, "--bivar", ragged, "--probes", "4"])
+
+    headered = str(tmp_path / "hdr.txt")
+    with open(headered, "w") as fh:
+        fh.write("FID IID pheno\n")
+        for k, ln in enumerate(fam):
+            parts = ln.split()
+            fh.write(f"{parts[0]} {parts[1]} {y2[k]:.6f}\n")
+    assert cli.main(["reml", p, "--bivar", headered, "--probes", "4"]) == 0
+    capsys.readouterr()

@@ -279,3 +279,22 @@ def test_ld_score_matches_dense_oracle(tmp_path, capsys):
     got_all = ld_score(gm, window=snps + 64, adjusted=False)
     want_all = np.ones(snps) + r2.sum(axis=0) - np.diag(r2)
     np.testing.assert_allclose(got_all, want_all, rtol=2e-4, atol=2e-4)
+
+
+def test_ld_prune_respects_chromosomes():
+    """With per-SNP chromosome labels, pairs spanning a boundary are never
+    pruning candidates (plink windows per chromosome)."""
+    from miraculix_tpu import ld_prune
+    from miraculix_tpu.io import bed as bedio
+
+    rng = np.random.default_rng(9)
+    base = bedio.simulate_genotypes(60, 100, seed=3)
+    geno = np.concatenate([base, base], axis=1)  # SNP i == SNP i+100
+    gm = mx.from_dense(geno)
+    # duplicated pairs are 100 apart; window=128 sees them
+    keep_nochrom = ld_prune(gm, window=128, r2_threshold=0.9)
+    assert (~keep_nochrom).sum() >= 90  # dup pairs pruned
+    chrom = np.array([1] * 100 + [2] * 100)
+    keep_chrom = ld_prune(gm, window=128, r2_threshold=0.9, chrom=chrom)
+    # the only r^2 > 0.9 pairs cross the boundary -> nothing pruned
+    assert keep_chrom.all()

@@ -19,7 +19,6 @@ SNPS, INDIV, ITERS = 262_144, 4_096, 8
 g = bed.simulate_genotypes(INDIV, SNPS, seed=0)
 zq = jnp.asarray(codec.pack_planar16(np.where(g == 3, 0, g), row_mult=256))
 kw = zq.shape[1]
-peak_tri = 2 * 394.8e12 / 2  # int8 peak, triangle convention halves work
 
 configs = [
     (512, 512, 512),    # current default
