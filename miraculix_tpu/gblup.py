@@ -742,13 +742,12 @@ def estimate_h2_he(
     }
 
 
-def estimate_bivar_reml(
+def estimate_multi_reml(
     g,
-    y1: np.ndarray,
-    y2: np.ndarray,
-    covariates: Optional[np.ndarray] = None,
+    ys: np.ndarray,
+    covariates=None,
     n_probes: int = 8,
-    probes: Optional[np.ndarray] = None,
+    probes=None,
     max_iter: int = 40,
     tol: float = 5e-4,
     cg_tol: float = 1e-5,
@@ -756,85 +755,90 @@ def estimate_bivar_reml(
     seed: int = 0,
     verbose: bool = False,
 ):
-    """Bivariate REML — genetic correlation between two traits (the
-    gcta64 ``--reml-bivar`` role), built ONLY from matvec primitives so G
-    is never materialized and any container (single-chip / sharded /
-    streamed) serves.
+    """Multivariate (t-trait) REML on the implicit Kronecker operator —
+    the generalization of gcta64's --reml-bivar to ANY number of traits
+    (GCTA itself stops at two; WOMBAT-class capability), from matvec
+    primitives only so G is never materialized and every container
+    (single-chip / sharded / streamed) serves.
 
     Model (traits standardized to unit variance internally):
 
-        vec([y1 y2]) = X β + u + e,
-        u ~ N(0, Sg ⊗ G_s),  e ~ N(0, Se ⊗ I),
-        Sg = [[g11, g12], [g12, g22]],  Se = [[e11, e12], [e12, e22]]
+        vec(Y) = X β + u + e,  u ~ N(0, Sg ⊗ G_s),  e ~ N(0, Se ⊗ I)
 
-    — six variance components.  V·w for w = [w1 w2] is
-    vec(G_s·[w1 w2]·Sgᵀ + [w1 w2]·Seᵀ): ONE batched packed matvec per
-    operator application, so every V⁻¹ block is a Jacobi-preconditioned
-    block CG whose per-iteration cost is a single [n, 2m] G_s pass.  The
-    REML machinery mirrors :func:`estimate_h2_reml`: Hutchinson traces
-    with common random numbers (``probes=np.eye(2n)`` gives exact traces
-    on small panels), exact average-information quadratic forms,
-    AI⁻¹·score updates with step-halving into the PSD region.
+    with Sg, Se the t x t genetic / residual covariance matrices —
+    t·(t+1) components.  V·W for W [n, t, m] is G_s W Sgᵀ + W Seᵀ: ONE
+    batched packed matvec over [n, t·m] columns per operator application,
+    so every V⁻¹ block is a Jacobi block-CG.  Machinery mirrors
+    :func:`estimate_h2_reml`: Hutchinson traces with common random
+    numbers (``probes=np.eye(t·n)`` = exact traces, vec order
+    trait-major per individual), EXACT average-information quadratic
+    forms, AI⁻¹·score updates with step-halving and eigenvalue-clipped
+    projection into the PSD cone.
 
-    Per-trait covariates (shared design) join the per-trait intercepts.
-    Requires complete records on both traits.
+    This closes the loop for :func:`multi_trait_gblup`, which takes
+    Su/Se as INPUT — estimate them here first.
 
-    Returns ``(rg, details)``: rg = g12/√(g11·g22); details carries the
-    standardized-scale components, per-trait h², delta-method SEs from
-    the inverse AI matrix, and convergence/CG counters.
+    Returns ``(Sg, Se, details)``: the standardized-scale covariance
+    matrices plus per-trait h², pairwise genetic correlations ``rg``
+    [t, t], delta-method SEs, and convergence/CG counters.
     """
     n = g.indiv
-    y1 = np.asarray(y1, np.float64).reshape(n)
-    y2 = np.asarray(y2, np.float64).reshape(n)
-    if not (np.isfinite(y1).all() and np.isfinite(y2).all()):
-        raise ValueError("estimate_bivar_reml needs complete records on "
-                         "both traits (no NaN)")
-    yt1 = (y1 - y1.mean()) / max(y1.std(), 1e-12)
-    yt2 = (y2 - y2.mean()) / max(y2.std(), 1e-12)
-    sigma2 = float(g.sigma2)
-    gs_mv = _scaled_matvec_of(g)
+    ys = np.asarray(ys, np.float64)
+    if ys.ndim != 2 or ys.shape[0] != n:
+        raise ValueError(f"ys must be [n_indiv, n_traits]; got {ys.shape}")
+    t = ys.shape[1]
+    if t < 2:
+        raise ValueError("need >= 2 traits (univariate: estimate_h2_reml)")
+    if not np.isfinite(ys).all():
+        raise ValueError("estimate_multi_reml needs complete records on "
+                         "every trait (no NaN)")
+    yt = (ys - ys.mean(axis=0)) / np.maximum(ys.std(axis=0), 1e-12)
 
-    dG = _grm_diag_of(g) / sigma2       # exact diag(G_s), for Jacobi
+    gs_mv = _scaled_matvec_of(g)
+    dG = _grm_diag_of(g) / float(g.sigma2)   # exact diag(G_s), for Jacobi
+
+    # components: (kind, a, b) for kind in (g, e), pairs a <= b row-major
+    pairs = [(a, b) for a in range(t) for b in range(a, t)]
+    ncomp = 2 * len(pairs)
 
     # fixed effects: per-trait intercept (+ shared covariate columns)
     cols = [np.ones((n, 1))]
     if covariates is not None:
         cov = np.asarray(covariates, np.float64)
         cols.append(cov[:, None] if cov.ndim == 1 else cov)
-    xc = np.concatenate(cols, axis=1)   # [n, p] per-trait design
+    xc = np.concatenate(cols, axis=1)
     p = xc.shape[1]
-    x3 = np.zeros((n, 2, 2 * p))
-    x3[:, 0, :p] = xc
-    x3[:, 1, p:] = xc
+    x3 = np.zeros((n, t, t * p))
+    for a in range(t):
+        x3[:, a, a * p:(a + 1) * p] = xc
 
-    # probes in R^{2n}, shared across iterations (common random numbers)
     if probes is None:
         rng = np.random.default_rng(seed)
-        z3 = rng.choice((-1.0, 1.0), size=(n, 2, n_probes))
+        z3 = rng.choice((-1.0, 1.0), size=(n, t, n_probes))
         exact_traces = False
     else:
         z = np.asarray(probes, np.float64)
-        if z.shape[0] != 2 * n:
-            raise ValueError(f"probes must have {2 * n} rows (vec order: "
+        if z.shape[0] != t * n:
+            raise ValueError(f"probes must have {t * n} rows (vec order: "
                              "trait-major per individual)")
         n_probes = z.shape[1]
-        z3 = z.reshape(n, 2, n_probes)
-        exact_traces = (n_probes == 2 * n
-                        and np.array_equal(z, np.eye(2 * n)))
+        z3 = z.reshape(n, t, n_probes)
+        exact_traces = (n_probes == t * n and np.array_equal(z, np.eye(t * n)))
+
+    def batched_g(w3):
+        """G_s over every trait slice: [n, t, m] -> [n, t, m], ONE pass."""
+        m = w3.shape[2]
+        flat = w3.transpose(0, 2, 1).reshape(n, t * m)  # no copy semantics
+        gflat = gs_mv(np.ascontiguousarray(flat))
+        return gflat.reshape(n, m, t).transpose(0, 2, 1)
 
     def v_op(w3, sg, se):
-        a, b = w3[:, 0, :], w3[:, 1, :]
-        m = a.shape[1]
-        gab = gs_mv(np.concatenate([a, b], axis=1))
-        ga, gb = gab[:, :m], gab[:, m:]
-        o1 = sg[0, 0] * ga + sg[0, 1] * gb + se[0, 0] * a + se[0, 1] * b
-        o2 = sg[0, 1] * ga + sg[1, 1] * gb + se[0, 1] * a + se[1, 1] * b
-        return np.stack([o1, o2], axis=1)
+        gw = batched_g(w3)
+        return (np.einsum("ab,nbm->nam", sg, gw)
+                + np.einsum("ab,nbm->nam", se, w3))
 
     def v_solve(b3, sg, se):
-        """Block Jacobi-CG on V; one gs_mv per iteration for ALL columns."""
-        d = np.stack([sg[0, 0] * dG + se[0, 0],
-                      sg[1, 1] * dG + se[1, 1]], axis=1)  # [n, 2]
+        d = (np.outer(dG, np.diag(sg)) + np.diag(se)[None, :])  # [n, t]
         minv = (1.0 / np.maximum(d, 1e-12))[:, :, None]
         x = np.zeros_like(b3)
         r = b3.copy()
@@ -861,68 +865,74 @@ def estimate_bivar_reml(
         return x, it
 
     def vi_apply(w3, gw=None):
-        """[V_i · w]_i for the six components, stacked on the last axis.
-        ``gw``: precomputed G_s over w3's two trait slices ([n, 2, m])."""
+        """[V_i w] for every component, order: g-pairs then e-pairs."""
         if gw is None:
-            m = w3.shape[2]
-            gab = gs_mv(np.concatenate([w3[:, 0, :], w3[:, 1, :]], axis=1))
-            gw = np.stack([gab[:, :m], gab[:, m:]], axis=1)
-        zero = np.zeros_like(w3[:, 0, :])
-        return [
-            np.stack([gw[:, 0, :], zero], axis=1),          # g11
-            np.stack([zero, gw[:, 1, :]], axis=1),          # g22
-            np.stack([gw[:, 1, :], gw[:, 0, :]], axis=1),   # g12
-            np.stack([w3[:, 0, :], zero], axis=1),          # e11
-            np.stack([zero, w3[:, 1, :]], axis=1),          # e22
-            np.stack([w3[:, 1, :], w3[:, 0, :]], axis=1),   # e12
-        ]
+            gw = batched_g(w3)
+        out = []
+        for src in (gw, w3):
+            for a, b in pairs:
+                o = np.zeros_like(w3)
+                o[:, a, :] += src[:, b, :]
+                if a != b:
+                    o[:, b, :] += src[:, a, :]
+                out.append(o)
+        return out
 
-    # --- init: per-trait HE + cross-trait HE covariance -------------------
-    h2a, _ = estimate_h2_he(g, y1, seed=seed)
-    h2b, _ = estimate_h2_he(g, y2, seed=seed)
-    g11 = float(np.clip(h2a if np.isfinite(h2a) else 0.5, 0.05, 0.95))
-    g22 = float(np.clip(h2b if np.isfinite(h2b) else 0.5, 0.05, 0.95))
-    gy2 = gs_mv(yt2[:, None])[:, 0]
-    num12 = float(yt1 @ gy2 - (dG * yt1 * yt2).sum())
+    # --- init: per-trait HE diagonals + cross-trait HE covariances --------
     rngd = np.random.default_rng(seed)
     zh = rngd.choice((-1.0, 1.0), size=(n, max(n_probes, 8)))
     gzh = gs_mv(zh)
     den = float(np.mean(np.sum(gzh * gzh, axis=0)) - (dG * dG).sum())
-    c12 = num12 / den if den > 0 else 0.0
-    cap = 0.9 * np.sqrt(g11 * g22)
-    g12 = float(np.clip(c12, -cap, cap))
-    e11, e22 = 1.0 - g11, 1.0 - g22
-    r_y = float(np.corrcoef(yt1, yt2)[0, 1])
-    cap_e = 0.9 * np.sqrt(e11 * e22)
-    e12 = float(np.clip(r_y - g12, -cap_e, cap_e))
+    gy = gs_mv(yt)                                    # G_s Y, one pass
+    sg0 = np.empty((t, t))
+    for a in range(t):
+        for b in range(a, t):
+            num = float(yt[:, a] @ gy[:, b] - (dG * yt[:, a] * yt[:, b]).sum())
+            sg0[a, b] = sg0[b, a] = num / den if den > 0 else (0.5 if a == b
+                                                               else 0.0)
+    sg = _project_psd(sg0, floor=0.05, cap=0.95)
+    se = _project_psd(np.corrcoef(yt.T) - sg, floor=0.05, cap=None)
+
+    theta = np.concatenate([[sg[a, b] for a, b in pairs],
+                            [se[a, b] for a, b in pairs]])
+
+    def unpack(th):
+        sgm = np.zeros((t, t))
+        sem = np.zeros((t, t))
+        for k, (a, b) in enumerate(pairs):
+            sgm[a, b] = sgm[b, a] = th[k]
+            sem[a, b] = sem[b, a] = th[len(pairs) + k]
+        return sgm, sem
 
     floor = 1e-6
 
-    def valid(th):
-        a11, a22, a12, b11, b22, b12 = th
-        return (np.all(np.isfinite(th)) and a11 >= floor and a22 >= floor
-                and b11 >= floor and b22 >= floor
-                and abs(a12) <= 0.999 * np.sqrt(a11 * a22)
-                and abs(b12) <= 0.999 * np.sqrt(b11 * b22)
-                and a11 + b11 < 10.0 and a22 + b22 < 10.0)
+    def valid_magnitude(th):
+        if not np.all(np.isfinite(th)):
+            return False
+        sgm, sem = unpack(th)
+        return np.diag(sgm).max() + np.diag(sem).max() < 10.0
 
-    y3 = np.stack([yt1, yt2], axis=1)[:, :, None]     # [n, 2, 1]
-    gz3 = None                                        # G_s over probe slices
-    theta = np.array([g11, g22, g12, e11, e22, e12])
+    def valid(th):
+        if not valid_magnitude(th):
+            return False
+        sgm, sem = unpack(th)
+        return (np.linalg.eigvalsh(sgm)[0] >= -1e-9
+                and np.linalg.eigvalsh(sem)[0] >= floor / 2)
+
+    y3 = yt.reshape(n, t, 1)
+    gz3 = None
     cg_total = 0
     converged = False
-    ai = np.eye(6)
+    ai = np.eye(ncomp)
     it_outer = 0
     for it_outer in range(1, max_iter + 1):
-        sg = np.array([[theta[0], theta[2]], [theta[2], theta[1]]])
-        se = np.array([[theta[3], theta[5]], [theta[5], theta[4]]])
-
+        sg, se = unpack(theta)
         block = np.concatenate([x3, y3, z3], axis=2)
         sol, iters = v_solve(block, sg, se)
         cg_total += iters
-        vinv_x = sol[:, :, : 2 * p]
-        vinv_y = sol[:, :, 2 * p: 2 * p + 1]
-        vinv_z = sol[:, :, 2 * p + 1:]
+        vinv_x = sol[:, :, : t * p]
+        vinv_y = sol[:, :, t * p: t * p + 1]
+        vinv_z = sol[:, :, t * p + 1:]
 
         xtvx = np.einsum("ntp,ntq->pq", x3, vinv_x)
         xtvx = 0.5 * (xtvx + xtvx.T)
@@ -936,22 +946,19 @@ def estimate_bivar_reml(
         py3 = proj(vinv_y)
         pz3 = proj(vinv_z)
 
-        u_list = vi_apply(py3)                        # six [n, 2, 1]
+        u_list = vi_apply(py3)
         quad = np.array([float(np.einsum("ntm,ntm->", py3, u))
                          for u in u_list])
 
         if gz3 is None:
-            m = z3.shape[2]
-            gab = gs_mv(np.concatenate([z3[:, 0, :], z3[:, 1, :]], axis=1))
-            gz3 = np.stack([gab[:, :m], gab[:, m:]], axis=1)
+            gz3 = batched_g(z3)
         viz = vi_apply(z3, gw=gz3)
         red = np.sum if exact_traces else (lambda a: np.mean(a))
         tr = np.array([float(red(np.einsum("ntm,ntm->m", pz3, vz)))
                        for vz in viz])
-
         score = -0.5 * (tr - quad)
 
-        u3 = np.concatenate(u_list, axis=2)           # [n, 2, 6]
+        u3 = np.concatenate(u_list, axis=2)
         solu, iters2 = v_solve(u3, sg, se)
         cg_total += iters2
         pu3 = proj(solu)
@@ -964,61 +971,120 @@ def estimate_bivar_reml(
             delta = score / max(n, 1)
         new = theta + delta
         halvings = 0
+        # step-halve into the PSD cone.  NB: at a BOUNDARY optimum (rank-
+        # deficient Sg-hat — generic at small n) halving converges to a
+        # point slightly short of the constrained optimum (measured ~0.1
+        # nll on a 72x3 panel; projection-based alternatives destabilized
+        # V when Sg and Se share a near-null direction and were discarded)
         while not valid(new) and halvings < 12:
             delta *= 0.5
             new = theta + delta
             halvings += 1
         if not valid(new):
-            # project into the valid region as a last resort
-            new = np.clip(theta + delta, floor, 5.0)
-            cap_g = 0.999 * np.sqrt(new[0] * new[1])
-            cap_e2 = 0.999 * np.sqrt(new[3] * new[4])
-            new[2] = np.clip(theta[2] + delta[2], -cap_g, cap_g)
-            new[5] = np.clip(theta[5] + delta[5], -cap_e2, cap_e2)
+            sgm, sem = unpack(theta + delta)
+            sgm = _project_psd(sgm, floor=0.0, cap=None)
+            sem = _project_psd(sem, floor=floor, cap=None)
+            new = np.concatenate([[sgm[a, b] for a, b in pairs],
+                                  [sem[a, b] for a, b in pairs]])
         step = float(np.abs(new - theta).max()
-                     / max(float(new[[0, 1, 3, 4]].sum()), 1e-12))
+                     / max(float(np.abs(new).sum()), 1e-12))
         theta = new
         if verbose:
-            print(f"  bivar-reml iter {it_outer}: "
-                  f"g=({theta[0]:.3f},{theta[1]:.3f},{theta[2]:+.3f}) "
-                  f"e=({theta[3]:.3f},{theta[4]:.3f},{theta[5]:+.3f}) "
-                  f"step={step:.2e} halvings={halvings}", flush=True)
+            sgm, sem = unpack(theta)
+            print(f"  multi-reml iter {it_outer}: diag(Sg)="
+                  f"{np.round(np.diag(sgm), 3)} diag(Se)="
+                  f"{np.round(np.diag(sem), 3)} step={step:.2e} "
+                  f"halvings={halvings}", flush=True)
         if step < tol:
             converged = True
             break
 
-    g11, g22, g12, e11, e22, e12 = (float(t) for t in theta)
-    rg = g12 / np.sqrt(max(g11 * g22, 1e-24))
-    h2_1 = g11 / (g11 + e11)
-    h2_2 = g22 / (g22 + e22)
-    se_rg = se_h2_1 = se_h2_2 = float("nan")
+    sg, se = unpack(theta)
+    dg_, de_ = np.diag(sg), np.diag(se)
+    h2 = dg_ / np.maximum(dg_ + de_, 1e-24)
+    denom = np.sqrt(np.maximum(np.outer(dg_, dg_), 1e-24))
+    rg = sg / denom
+    np.fill_diagonal(rg, 1.0)
+
+    se_h2 = np.full(t, np.nan)
+    se_rg = np.full((t, t), np.nan)
     try:
         cov_t = np.linalg.inv(ai)
-        sq = np.sqrt(g11 * g22)
-        gr = np.zeros(6)
-        gr[0] = -0.5 * g12 / (g11 * sq)
-        gr[1] = -0.5 * g12 / (g22 * sq)
-        gr[2] = 1.0 / sq
-        v = float(gr @ cov_t @ gr)
-        se_rg = float(np.sqrt(v)) if v > 0 else float("nan")
-        g1 = np.zeros(6)
-        g1[0], g1[3] = e11 / (g11 + e11) ** 2, -g11 / (g11 + e11) ** 2
-        v1 = float(g1 @ cov_t @ g1)
-        se_h2_1 = float(np.sqrt(v1)) if v1 > 0 else float("nan")
-        g2v = np.zeros(6)
-        g2v[1], g2v[4] = e22 / (g22 + e22) ** 2, -g22 / (g22 + e22) ** 2
-        v2 = float(g2v @ cov_t @ g2v)
-        se_h2_2 = float(np.sqrt(v2)) if v2 > 0 else float("nan")
+        gidx = {pr: k for k, pr in enumerate(pairs)}
+        for a in range(t):
+            gr = np.zeros(ncomp)
+            tot = dg_[a] + de_[a]
+            gr[gidx[(a, a)]] = de_[a] / tot ** 2
+            gr[len(pairs) + gidx[(a, a)]] = -dg_[a] / tot ** 2
+            v = float(gr @ cov_t @ gr)
+            se_h2[a] = np.sqrt(v) if v > 0 else np.nan
+        for a in range(t):
+            for b in range(a + 1, t):
+                sq = np.sqrt(dg_[a] * dg_[b])
+                gr = np.zeros(ncomp)
+                gr[gidx[(a, a)]] = -0.5 * sg[a, b] / (dg_[a] * sq)
+                gr[gidx[(b, b)]] = -0.5 * sg[a, b] / (dg_[b] * sq)
+                gr[gidx[(a, b)]] = 1.0 / sq
+                v = float(gr @ cov_t @ gr)
+                se_rg[a, b] = se_rg[b, a] = np.sqrt(v) if v > 0 else np.nan
     except np.linalg.LinAlgError:
         pass
-    return float(rg), {
-        "g11": g11, "g22": g22, "g12": g12,
-        "e11": e11, "e22": e22, "e12": e12,
-        "h2_1": float(h2_1), "h2_2": float(h2_2),
-        "se_rg": se_rg, "se_h2_1": se_h2_1, "se_h2_2": se_h2_2,
+    return sg, se, {
+        "h2": h2, "rg": rg, "se_h2": se_h2, "se_rg": se_rg,
         "iterations": it_outer, "converged": converged,
         "cg_iterations": cg_total, "n_probes": n_probes,
-        "exact_traces": exact_traces,
+        "exact_traces": exact_traces, "n_traits": t,
+    }
+
+
+def _project_psd(m, floor=0.0, cap=None):
+    """Nearest (Frobenius) symmetric PSD matrix with eigenvalues clipped
+    to [floor, cap]."""
+    m = 0.5 * (m + m.T)
+    w, v = np.linalg.eigh(m)
+    w = np.clip(w, floor, cap)
+    return (v * w) @ v.T
+
+
+def estimate_bivar_reml(
+    g,
+    y1: np.ndarray,
+    y2: np.ndarray,
+    covariates=None,
+    n_probes: int = 8,
+    probes=None,
+    max_iter: int = 40,
+    tol: float = 5e-4,
+    cg_tol: float = 1e-5,
+    cg_maxiter: int = 2000,
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """Bivariate REML — genetic correlation between two traits (the
+    gcta64 ``--reml-bivar`` role).  Thin wrapper over the t-trait
+    :func:`estimate_multi_reml` (see there for the model and machinery);
+    kept for the two-trait API: returns ``(rg, details)`` with the six
+    named components g11/g22/g12/e11/e22/e12 and scalar SEs.
+    """
+    ys = np.stack([np.asarray(y1, np.float64).reshape(-1),
+                   np.asarray(y2, np.float64).reshape(-1)], axis=1)
+    sg, se, det = estimate_multi_reml(
+        g, ys, covariates=covariates, n_probes=n_probes, probes=probes,
+        max_iter=max_iter, tol=tol, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+        seed=seed, verbose=verbose)
+    rg = float(det["rg"][0, 1])
+    return rg, {
+        "g11": float(sg[0, 0]), "g22": float(sg[1, 1]),
+        "g12": float(sg[0, 1]),
+        "e11": float(se[0, 0]), "e22": float(se[1, 1]),
+        "e12": float(se[0, 1]),
+        "h2_1": float(det["h2"][0]), "h2_2": float(det["h2"][1]),
+        "se_rg": float(det["se_rg"][0, 1]),
+        "se_h2_1": float(det["se_h2"][0]),
+        "se_h2_2": float(det["se_h2"][1]),
+        "iterations": det["iterations"], "converged": det["converged"],
+        "cg_iterations": det["cg_iterations"],
+        "n_probes": det["n_probes"], "exact_traces": det["exact_traces"],
     }
 
 

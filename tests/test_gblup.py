@@ -766,3 +766,116 @@ def test_cli_reml_bivar_rejects_bad_inputs(tmp_path, capsys):
             fh.write(f"{parts[0]} {parts[1]} {y2[k]:.6f}\n")
     assert cli.main(["reml", p, "--bivar", headered, "--probes", "4"]) == 0
     capsys.readouterr()
+
+
+def test_multi_reml_t3_dense_local_optimum():
+    """t=3: the exact-probe fixed point is a LOCAL MAXIMUM of the dense
+    restricted likelihood (computed with explicit matrices, independent of
+    the solver's machinery) — boundary-compatible: small-n multivariate
+    REML optima routinely sit on the PSD cone's boundary, where the raw
+    score need not vanish, so optimality is asserted directly: no feasible
+    perturbation improves the criterion, and a Nelder-Mead polish gains
+    only a bounded sliver (the step-halved boundary creep)."""
+    from scipy.optimize import minimize
+
+    n, snps, t = 72, 400, 3
+    geno = bed.simulate_genotypes(n, snps, seed=13)
+    gm = mx.from_dense(geno)
+    rng = np.random.default_rng(5)
+    f = np.where(geno == 3, 0, geno).mean(axis=0) / 2.0
+    zc = geno.astype(np.float64) - 2 * f
+    gs_mat = zc @ zc.T / (2 * (f * (1 - f)).sum())
+    zs = zc / np.sqrt(2 * (f * (1 - f)).sum())
+    a = rng.multivariate_normal(
+        np.zeros(t), [[1, .6, .2], [.6, 1, .1], [.2, .1, 1]], size=snps)
+    u = zs @ a
+    u /= u.std(axis=0)
+    e = rng.standard_normal((n, t))
+    ys = 0.7 * u + 0.7 * e
+
+    sg, se, det = gblup.estimate_multi_reml(
+        gm, ys, probes=np.eye(t * n), max_iter=60, tol=1e-7, cg_tol=1e-8)
+    assert det["exact_traces"]
+
+    yt = (ys - ys.mean(axis=0)) / ys.std(axis=0)
+    yv = yt.reshape(-1)
+    x = np.zeros((t * n, t))
+    for k in range(t):
+        x[k::t, k] = 1.0
+    pairs = [(aa, bb) for aa in range(t) for bb in range(aa, t)]
+
+    def unpack(th):
+        sgm = np.zeros((t, t))
+        sem = np.zeros((t, t))
+        for k, (aa, bb) in enumerate(pairs):
+            sgm[aa, bb] = sgm[bb, aa] = th[k]
+            sem[aa, bb] = sem[bb, aa] = th[len(pairs) + k]
+        return sgm, sem
+
+    def nll(th):
+        sgm, sem = unpack(th)
+        if (np.linalg.eigvalsh(sgm)[0] < -1e-9
+                or np.linalg.eigvalsh(sem)[0] <= 1e-8):
+            return 1e10
+        v = np.kron(gs_mat, sgm) + np.kron(np.eye(n), sem)
+        sign, logdet = np.linalg.slogdet(v)
+        if sign <= 0:
+            return 1e10
+        vi = np.linalg.inv(v)
+        xtvix = x.T @ vi @ x
+        s2, ld2 = np.linalg.slogdet(xtvix)
+        if s2 <= 0:
+            return 1e10
+        pmat = vi - vi @ x @ np.linalg.solve(xtvix, x.T @ vi)
+        return 0.5 * (logdet + ld2 + yv @ pmat @ yv)
+
+    th0 = np.concatenate([[sg[aa, bb] for aa, bb in pairs],
+                          [se[aa, bb] for aa, bb in pairs]])
+    f0 = nll(th0)
+    assert f0 < 1e9  # the estimate itself is feasible
+
+    # (a) random feasible perturbations never improve the criterion
+    prng = np.random.default_rng(1)
+    for _ in range(24):
+        d = prng.standard_normal(len(th0)) * 0.02
+        fd = nll(th0 + d)
+        assert fd >= f0 - 1e-4, (fd, f0)
+    # (b) a Nelder-Mead polish STARTED at the estimate improves the
+    # criterion only marginally: step-halved AI updates stop slightly
+    # short of a BOUNDARY optimum (rank-deficient Sg-hat is generic at
+    # n=72) — the gap is bounded, not a wrong fixed point (documented in
+    # estimate_multi_reml)
+    res = minimize(nll, th0, method="Nelder-Mead",
+                   options={"maxiter": 600, "xatol": 1e-7, "fatol": 1e-10})
+    assert f0 - res.fun < 0.25, (f0, res.fun)
+
+
+def test_multi_reml_t3_block_structure():
+    """Three traits, the third genetically independent: rg[0,1] tracks the
+    realized correlation, rg[0,2]/rg[1,2] land near zero, per-trait h2
+    near truth."""
+    n, snps, t = 500, 1500, 3
+    geno = bed.simulate_genotypes(n, snps, seed=14)
+    gm = mx.from_dense(geno)
+    rng = np.random.default_rng(8)
+    f = np.where(geno == 3, 0, geno).mean(axis=0) / 2.0
+    zs = (geno.astype(np.float64) - 2 * f) / np.sqrt(
+        2 * (f * (1 - f)).sum())
+    a = rng.multivariate_normal(
+        np.zeros(t), [[1, .7, 0], [.7, 1, 0], [0, 0, 1]], size=snps)
+    u = zs @ a
+    u /= u.std(axis=0)
+    rg01 = float(np.corrcoef(u[:, 0], u[:, 1])[0, 1])
+    e = rng.standard_normal((n, t))
+    e /= e.std(axis=0)
+    h2s = np.array([0.5, 0.4, 0.6])
+    ys = np.sqrt(h2s) * u + np.sqrt(1 - h2s) * e
+
+    sg, se, det = gblup.estimate_multi_reml(gm, ys, n_probes=16, seed=0)
+    assert det["converged"]
+    assert abs(det["rg"][0, 1] - rg01) < 0.3, (det["rg"][0, 1], rg01)
+    assert abs(det["rg"][0, 2]) < 0.35 and abs(det["rg"][1, 2]) < 0.35
+    assert np.all(np.abs(det["h2"] - h2s) < 0.3), det["h2"]
+    # the returned covariances are PSD and consistent with rg
+    assert np.linalg.eigvalsh(sg)[0] > -1e-8
+    assert np.linalg.eigvalsh(se)[0] > 0
