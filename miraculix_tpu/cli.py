@@ -488,7 +488,8 @@ def cmd_reml(args) -> int:
     import numpy as np
 
     from . import from_bed
-    from .gblup import estimate_bivar_reml, estimate_h2_he, estimate_h2_reml
+    from .gblup import (estimate_bivar_reml, estimate_h2_he,
+                        estimate_h2_reml, estimate_multi_reml)
     from .streamed import StreamedGeno
 
     if args.stream_chunk > 0:
@@ -497,10 +498,51 @@ def cmd_reml(args) -> int:
         g = from_bed(args.bed)
     with open(args.bed[:-4] + ".fam") as fh:
         y = np.array([ln.split()[5] for ln in fh if ln.strip()], np.float64)
-    keep = y != -9
-    if not keep.all():
-        raise SystemExit(f"{int((~keep).sum())} individuals have missing "
+    if not args.multi and (y == -9).any():
+        # --multi takes every trait from its own file; the .fam phenotype
+        # column is unused there
+        raise SystemExit(f"{int((y == -9).sum())} individuals have missing "
                          "phenotype (-9); subset the panel first")
+    if args.multi:
+        from .io.bed import read_fam_ids
+
+        rows = [ln.split() for ln in open(args.multi) if ln.strip()]
+        if rows and rows[0] and not _is_number(rows[0][-1]):
+            rows = rows[1:]
+        if not rows or len(rows[0]) < 4:
+            raise SystemExit("--multi needs 'FID IID y1 y2 [y3 ...]' rows "
+                             "(>= 2 traits)")
+        if any(len(r) != len(rows[0]) for r in rows):
+            raise SystemExit("--multi file is ragged")
+        try:
+            by_id = {(r[0], r[1]): [float(v) for v in r[2:]] for r in rows}
+        except ValueError as e:
+            raise SystemExit(f"--multi file has a non-numeric value: {e}")
+        ids = read_fam_ids(args.bed)
+        missing = [i for i in ids if i not in by_id]
+        if missing:
+            raise SystemExit(f"--multi file lacks {len(missing)} of the "
+                             "panel's FID/IID pairs")
+        ys = np.array([by_id[i] for i in ids])
+        if (ys == -9).any():
+            raise SystemExit("missing phenotype (-9) in --multi traits; "
+                             "subset the panel first")
+        sg_m, se_m, det = estimate_multi_reml(g, ys, n_probes=args.probes,
+                                              verbose=args.verbose)
+        t = det["n_traits"]
+        print(f"{t}-trait REML (standardized scale)")
+        print("trait\th2\tSE")
+        for k in range(t):
+            print(f"{k + 1}\t{det['h2'][k]:.4f}\t{det['se_h2'][k]:.4f}")
+        print("pair\trG\tSE")
+        for a in range(t):
+            for b in range(a + 1, t):
+                print(f"{a + 1},{b + 1}\t{det['rg'][a, b]:.4f}\t"
+                      f"{det['se_rg'][a, b]:.4f}")
+        print(f"(multivariate AI-REML: {det['iterations']} iterations, "
+              f"converged={det['converged']}, {det['cg_iterations']} CG "
+              f"iterations, {det['n_probes']} trace probes)")
+        return 0
     if args.bivar:
         # second trait: one value per .fam row, or "FID IID value" rows
         from .io.bed import read_fam_ids
@@ -767,6 +809,10 @@ def main(argv=None) -> int:
                          "correlation between the .fam phenotype and a "
                          "second trait file ('FID IID value' rows, or one "
                          "value per .fam line)")
+    rm.add_argument("--multi", default=None, metavar="PHENOS",
+                    help="multivariate REML over >= 2 traits from a "
+                         "'FID IID y1 y2 ...' file (beyond gcta, which "
+                         "stops at --reml-bivar)")
     rm.add_argument("-v", "--verbose", action="store_true")
 
     ss = sub.add_parser("ssgblup", help="single-step GBLUP: pedigree + "

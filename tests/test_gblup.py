@@ -879,3 +879,30 @@ def test_multi_reml_t3_block_structure():
     # the returned covariances are PSD and consistent with rg
     assert np.linalg.eigvalsh(sg)[0] > -1e-8
     assert np.linalg.eigvalsh(se)[0] > 0
+
+
+def test_cli_reml_multi(tmp_path, capsys):
+    """CLI reml --multi: t=3 traits from an FID/IID file."""
+    from miraculix_tpu import cli
+
+    geno = bed.simulate_genotypes(150, 600, seed=33)
+    rng = np.random.default_rng(3)
+    f = np.where(geno == 3, 0, geno).mean(axis=0) / 2.0
+    zs = (geno.astype(np.float64) - 2 * f) / np.sqrt(
+        2 * (f * (1 - f)).sum())
+    u = zs @ rng.standard_normal((600, 3))
+    u /= u.std(axis=0)
+    ys = 0.7 * u + 0.7 * rng.standard_normal((150, 3))
+    p = str(tmp_path / "mt.bed")
+    bed.write_bed(p, geno)
+    ph = str(tmp_path / "ph.txt")
+    fam = open(p[:-4] + ".fam").read().splitlines()
+    with open(ph, "w") as fh:
+        fh.write("FID IID t1 t2 t3\n")
+        for k, ln in enumerate(fam):
+            parts = ln.split()
+            fh.write(f"{parts[0]} {parts[1]} " +
+                     " ".join(f"{v:.6f}" for v in ys[k]) + "\n")
+    assert cli.main(["reml", p, "--multi", ph, "--probes", "6"]) == 0
+    out = capsys.readouterr().out
+    assert "3-trait REML" in out and "2,3\t" in out
