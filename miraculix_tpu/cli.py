@@ -194,6 +194,12 @@ def cmd_ld(args) -> int:
     from . import from_bed, ld, ld_score, ld_windowed
     from .io.bed import read_bim
 
+    if args.score and args.prune_r2 is not None:
+        raise SystemExit("--score and --prune-r2 are mutually exclusive "
+                         "ld modes; pass one")
+    if (args.score or args.prune_r2 is not None) and args.squared:
+        raise SystemExit("--squared applies to the matrix/banded output "
+                         "only; drop it with --score/--prune-r2")
     g = from_bed(args.bed)
     if args.prune_r2 is not None:
         from . import ld_prune
@@ -215,9 +221,11 @@ def cmd_ld(args) -> int:
               f"{args.window or 512}, r^2 > {args.prune_r2}")
         return 0
     if args.score:
+        bim = read_bim(args.bed)
         sc = ld_score(g, window=args.window or 512,
-                      adjusted=not args.no_adjust)
-        ids = [row[1] for row in read_bim(args.bed)]
+                      adjusted=not args.no_adjust,
+                      chrom=np.array([row[0] for row in bim]))
+        ids = [row[1] for row in bim]
         out = args.out or "ldscore.tsv"
         with open(out, "w") as fh:
             fh.write("snp\tldscore\n")
@@ -404,8 +412,10 @@ def cmd_score(args) -> int:
     if len(bim) != len(alpha):
         raise SystemExit(f"effects file has {len(alpha)} SNPs but the panel "
                          f"has {len(bim)} — panels must share the SNP set")
-    mism = sum(1 for row, sid, a1 in zip(bim, snp_ids, alleles)
-               if row[1] != sid or row[4] != a1)
+    # dosage counts A2 copies (codec: 0b00 hom-A1 -> 0), so the effect
+    # allele written by gblup --effects-out is the .bim 6th column (A2)
+    mism = sum(1 for row, sid, eff in zip(bim, snp_ids, alleles)
+               if row[1] != sid or row[5] != eff)
     if mism and not args.force:
         raise SystemExit(f"{mism} SNP id/allele mismatches vs the .bim — "
                          "the panels are not variant-aligned "
@@ -496,13 +506,16 @@ def cmd_reml(args) -> int:
         g = StreamedGeno.from_bed(args.bed, chunk_snps=args.stream_chunk)
     else:
         g = from_bed(args.bed)
-    with open(args.bed[:-4] + ".fam") as fh:
-        y = np.array([ln.split()[5] for ln in fh if ln.strip()], np.float64)
-    if not args.multi and (y == -9).any():
-        # --multi takes every trait from its own file; the .fam phenotype
-        # column is unused there
-        raise SystemExit(f"{int((y == -9).sum())} individuals have missing "
-                         "phenotype (-9); subset the panel first")
+    if not args.multi:
+        # --multi takes every trait from its own file; skip the .fam
+        # phenotype column entirely there (it may be absent/non-numeric)
+        with open(args.bed[:-4] + ".fam") as fh:
+            y = np.array([ln.split()[5] for ln in fh if ln.strip()],
+                         np.float64)
+        if (y == -9).any():
+            raise SystemExit(f"{int((y == -9).sum())} individuals have "
+                             "missing phenotype (-9); subset the panel "
+                             "first")
     if args.multi:
         from .io.bed import read_fam_ids
 

@@ -405,7 +405,10 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
     if effects_out:
         # marker-effect export for indirect prediction (cli score / the
         # plink --score deployment loop): SNP id + effect allele from the
-        # .bim, backsolved ALT-dosage effect, training allele frequency
+        # .bim, backsolved dosage effect, training allele frequency.
+        # The codec decodes 0b00 (hom A1) to dosage 0, so dosage counts
+        # copies of A2 — the effect allele is the .bim's 6th column (A2),
+        # matching what plink --score needs to reproduce these scores.
         alpha = snp_effects(g, res)
         freq = np.asarray(g.freq, np.float64)
         bim = bedio.read_bim(bed_path)
@@ -415,7 +418,7 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
         with open(effects_out, "w") as fh:
             fh.write("snp\tallele\teffect\tfreq_train\n")
             for row, a, f in zip(bim, alpha, freq):
-                fh.write(f"{row[1]}\t{row[4]}\t{a:.10g}\t{f:.10g}\n")
+                fh.write(f"{row[1]}\t{row[5]}\t{a:.10g}\t{f:.10g}\n")
         print(f"wrote {effects_out}: {len(alpha)} marker effects "
               "(score new panels with `cli score`)")
     return 0

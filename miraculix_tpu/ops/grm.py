@@ -82,12 +82,13 @@ def _crossprod_kernel(zi_ref, zj_ref, out_ref):
 
 
 def _crossprod_tri_kernel(zi_ref, zj_ref, out_ref, *, ti, tj):
-    """Upper-triangle-only variant: blocks entirely below the diagonal skip
-    the MXU work (the reference computes only the upper triangle too and
-    mirrors on the host, snp_multiply_cuda.cu:194-340).  Supports
-    asymmetric ti/tj tiles (see module constants for why the default is
-    symmetric).  Skipped tiles still pay their (tiny) DMA; compute is what
-    dominates."""
+    """Upper-triangle-only variant for ASYMMETRIC ti/tj tiles: blocks
+    entirely below the diagonal skip the MXU work (the reference computes
+    only the upper triangle too and mirrors on the host,
+    snp_multiply_cuda.cu:194-340).  Skipped tiles still pay their DMA and
+    a pipeline bubble per skipped grid step — the symmetric-tile default
+    uses the wrapped-pair grid (``_crossprod_wrap_kernel``) instead, which
+    enumerates only real upper-triangle blocks."""
     i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     compute = (j + 1) * tj > i * ti  # block touches or crosses the diagonal
 
@@ -431,11 +432,17 @@ def ld_windowed(
     row_block: int = 4096,
     squared: bool = False,
     out: Optional["np.ndarray"] = None,
+    chrom=None,
 ):
     """Banded LD: ``out[s, d]`` = r(SNP ``s``, SNP ``s+d+1``) for
     d in [0, window) — the LD-PRUNING shape.  O(snps x window) memory where
     the full r matrix is O(snps²) (4 TB at 1M SNPs vs 4 GB at window=1024);
     entries whose partner runs past the panel are 0.
+
+    ``chrom`` (per-SNP labels, any dtype): entries whose pair spans a
+    chromosome boundary are zeroed — plink/gcta window per chromosome, and
+    cross-chromosome r is sampling noise that would otherwise leak into LD
+    scores and pruning decisions.
 
     Device work per row block: ONE rectangular int8 crossproduct of the
     block's transposed packing against the block+window row range — the
@@ -460,6 +467,11 @@ def ld_windowed(
     rb = max(512, (row_block // 512) * 512)
     wb = -(-window // 512) * 512          # padded window for tiling
     nb = -(-snps // rb)
+    if chrom is not None:
+        chrom = np.asarray(chrom)
+        if chrom.shape[0] != snps:
+            raise ValueError(f"chrom has {chrom.shape[0]} labels for "
+                             f"{snps} SNPs")
     if out is None:
         out = np.zeros((snps, window), dtype=np.float32)
     f = np.asarray(g.freq, dtype=np.float64)
@@ -498,6 +510,8 @@ def ld_windowed(
         band = band / (sigma[r0:r1][:, None] * sigma[partner])
         valid = (r0 + np.arange(nrow)[:, None] + 1
                  + np.arange(window)[None, :]) < snps
+        if chrom is not None:
+            valid &= chrom[partner] == chrom[r0:r1][:, None]
         out[r0:r1] = np.where(valid, band, 0.0).astype(np.float32)
     if squared:
         np.square(out, out=out)
@@ -509,6 +523,7 @@ def ld_score(
     window: int = 512,
     row_block: int = 4096,
     adjusted: bool = True,
+    chrom=None,
 ):
     """Per-SNP LD score: 1 + Σ r² over all partners within ``window``
     positions (both directions) — the gcta64 ``--ld-score`` statistic the
@@ -516,6 +531,11 @@ def ld_score(
     (utils/benchmark/benchmark_suite.jl:230-273), the input of LD-score
     regression.  ``adjusted`` applies GCTA's small-sample correction
     r²_adj = r² − (1 − r²)/(n − 2) to every real pair.
+
+    ``chrom`` (per-SNP labels): pairs spanning a chromosome boundary never
+    contribute — gcta windows per chromosome, and with ``adjusted=False``
+    the raw r² of ~window unlinked cross-chromosome pairs would inflate
+    boundary SNPs' scores by about window/(n-2).
 
     Runs off the banded r of :func:`ld_windowed` (O(snps·window) memory and
     device work), so it streams panels whose full LD matrix never fits.
@@ -525,15 +545,21 @@ def ld_score(
 
     snps, n = g.snps, g.indiv
     window = min(window, max(snps - 1, 1))
-    band = ld_windowed(g, window, row_block=row_block, squared=True)
+    band = ld_windowed(g, window, row_block=row_block, squared=True,
+                       chrom=chrom)
     if adjusted:
         if n < 3:
             raise ValueError("adjusted LD scores need >= 3 individuals")
         # in place on the f32 band (O(snps*window) is the whole footprint);
-        # out-of-panel partners stay exactly 0
+        # out-of-panel (and cross-chromosome) partners must stay exactly 0
         band -= (1.0 - band) / np.float32(n - 2)
         for d in range(window):
             band[max(snps - d - 1, 0):, d] = 0.0
+        if chrom is not None:
+            ch = np.asarray(chrom)
+            partner = np.minimum(np.arange(snps)[:, None] + 1
+                                 + np.arange(window)[None, :], snps - 1)
+            band[ch[partner] != ch[:, None]] = 0.0
     score = 1.0 + band.sum(axis=1, dtype=np.float64)
     for d in range(window):  # incoming pairs: band[s-d-1, d] contributes to s
         score[d + 1:] += band[: snps - d - 1, d]
@@ -562,16 +588,9 @@ def ld_prune(
     """
     import numpy as np
 
-    band2 = ld_windowed(g, window=window, row_block=row_block, squared=True)
+    band2 = ld_windowed(g, window=window, row_block=row_block, squared=True,
+                        chrom=chrom)
     snps = g.snps
-    if chrom is not None:
-        chrom = np.asarray(chrom)
-        if chrom.shape[0] != snps:
-            raise ValueError(f"chrom has {chrom.shape[0]} labels for "
-                             f"{snps} SNPs")
-        partner = np.minimum(np.arange(snps)[:, None] + 1
-                             + np.arange(window)[None, :], snps - 1)
-        band2 = np.where(chrom[partner] == chrom[:, None], band2, 0.0)
     f = np.asarray(g.freq, np.float64)
     maf = np.minimum(f, 1.0 - f)
     keep = np.ones(snps, bool)

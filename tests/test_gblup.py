@@ -558,6 +558,10 @@ def test_cli_effects_out_and_score(tmp_path, capsys):
     assert rows[0] == ["snp", "allele", "effect", "freq_train\n"] \
         or rows[0][0] == "snp"
     assert len(rows) == 1 + 500
+    # dosage counts A2 copies (0b00 hom-A1 decodes to 0), so the exported
+    # effect allele must be the .bim 6th column (A2 = "B" in write_bed
+    # filesets) — plink --score with these rows then reproduces g_hat
+    assert all(r[1] == "B" for r in rows[1:])
 
     out = str(tmp_path / "sc.tsv")
     assert cli.main(["score", p, eff, "-o", out]) == 0
@@ -906,3 +910,12 @@ def test_cli_reml_multi(tmp_path, capsys):
     assert cli.main(["reml", p, "--multi", ph, "--probes", "6"]) == 0
     out = capsys.readouterr().out
     assert "3-trait REML" in out and "2,3\t" in out
+
+    # --multi must not touch the .fam phenotype column (traits live in the
+    # --multi file; the typical fileset has NA or no 6th column there)
+    with open(p[:-4] + ".fam", "w") as fh:
+        for ln in fam:
+            parts = ln.split()
+            fh.write(" ".join(parts[:5]) + " NA\n")
+    assert cli.main(["reml", p, "--multi", ph, "--probes", "6"]) == 0
+    capsys.readouterr()

@@ -298,3 +298,21 @@ def test_ld_prune_respects_chromosomes():
     keep_chrom = ld_prune(gm, window=128, r2_threshold=0.9, chrom=chrom)
     # the only r^2 > 0.9 pairs cross the boundary -> nothing pruned
     assert keep_chrom.all()
+
+
+def test_ld_score_respects_chromosomes():
+    """With per-SNP chromosome labels, cross-chromosome pairs contribute 0
+    to LD scores (gcta windows per chromosome) in both adjusted modes."""
+    from miraculix_tpu import ld_score
+    from miraculix_tpu.io import bed as bedio
+
+    base = bedio.simulate_genotypes(80, 90, seed=21)
+    geno = np.concatenate([base, base], axis=1)  # SNP i == SNP i+90
+    gm = mx.from_dense(geno)
+    chrom = np.array([1] * 90 + [2] * 90)
+    for adjusted in (False, True):
+        got = ld_score(gm, window=256, adjusted=adjusted, chrom=chrom)
+        # per-chromosome oracle: score each half independently
+        half = ld_score(mx.from_dense(base), window=256, adjusted=adjusted)
+        np.testing.assert_allclose(got[:90], half, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(got[90:], half, rtol=2e-4, atol=2e-4)

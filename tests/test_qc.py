@@ -148,3 +148,23 @@ def test_cli_qc_rel_cutoff_and_ld_prune(tmp_path, capsys):
     drop_ids = open(str(tmp_path / "pr") + ".prune.out").read().split()
     assert len(kept_ids) + len(drop_ids) == 400
     assert set(kept_ids).isdisjoint(drop_ids) and len(kept_ids) > 0
+
+
+def test_cli_ld_rejects_conflicting_modes(tmp_path, capsys):
+    """--score / --prune-r2 / --squared are distinct ld modes: conflicting
+    combinations must SystemExit instead of silently picking one."""
+    import numpy as np
+    import pytest
+
+    from miraculix_tpu import cli
+    from miraculix_tpu.io import bed as bedio
+
+    geno = bedio.simulate_genotypes(30, 64, seed=11)
+    p = str(tmp_path / "c.bed")
+    bedio.write_bed(p, geno)
+    with pytest.raises(SystemExit):
+        cli.main(["ld", p, "--score", "--prune-r2", "0.3"])
+    with pytest.raises(SystemExit):
+        cli.main(["ld", p, "--score", "--squared"])
+    with pytest.raises(SystemExit):
+        cli.main(["ld", p, "--prune-r2", "0.3", "--squared"])
