@@ -2,7 +2,8 @@
 mesh (new capability — the reference is single-node).  1D = SNP-axis
 sharding; 2D = individuals x SNPs block sharding for panels where neither
 axis fits one chip."""
-from .sharded import (ShardedGeno, init_distributed, load_sharded,
+from .sharded import (ShardedGeno, host_global, init_distributed,
+                      load_sharded,
                       make_mesh, save_sharded, shard_genotypes,
                       shard_genotypes_from_bed, sharded_cg_solve,
                       sharded_dgemm, sharded_grm, sharded_grm_diag,
@@ -16,6 +17,7 @@ from .sharded2d import (ShardedGeno2D, make_mesh_2d, pad_indiv_vec,
 __all__ = [
     "ShardedGeno",
     "ShardedGeno2D",
+    "host_global",
     "init_distributed",
     "load_sharded",
     "make_mesh",

@@ -452,17 +452,43 @@ def _mesh_of(sg: ShardedGeno) -> Mesh:
     raise ValueError("ShardedGeno arrays carry no NamedSharding; pass mesh=")
 
 
+def host_global(x: jax.Array) -> np.ndarray:
+    """Fetch a (possibly cross-process-sharded) array to host numpy on EVERY
+    process.  ``np.asarray`` raises on arrays with non-addressable shards
+    (verified: RuntimeError under 2-process jax.distributed); the portable
+    gather is one all_gather collective over all devices
+    (``multihost_utils.process_allgather(tiled=True)``)."""
+    if x.is_fully_addressable:
+        return np.asarray(x)
+    if x.is_fully_replicated:
+        # every device (incl. a local one) holds the full value already
+        return np.asarray(x.addressable_data(0))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def save_sharded(path: str, sg: ShardedGeno) -> None:
     """Checkpoint a sharded panel (.npz).  Shards gather to host on save and
     re-shard onto the target mesh on load — the packed panel (2 bits per
     genotype) is the small representation, so this is cheap relative to
     re-ingesting .bed.  (The reference has no checkpointing at all,
-    SURVEY.md §5.)"""
-    np.savez_compressed(
-        path, snps=sg.snps, indiv=sg.indiv, spd=sg.spd, axis=sg.axis,
-        zq_n=np.asarray(sg.zq_n), zq_t=np.asarray(sg.zq_t),
-        freq=np.asarray(sg.freq),
-    )
+    SURVEY.md §5.)
+
+    Multi-process: the gather is a collective every process must enter;
+    only process 0 writes the file, and a barrier holds the others until
+    the write completes (so a following ``load_sharded`` sees the file)."""
+    zq_n, zq_t, freq = (host_global(sg.zq_n), host_global(sg.zq_t),
+                        host_global(sg.freq))
+    if jax.process_index() == 0:
+        np.savez_compressed(
+            path, snps=sg.snps, indiv=sg.indiv, spd=sg.spd, axis=sg.axis,
+            zq_n=zq_n, zq_t=zq_t, freq=freq,
+        )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("miraculix_save_sharded")
 
 
 def load_sharded(path: str, mesh: Mesh) -> ShardedGeno:
