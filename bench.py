@@ -55,6 +55,9 @@ def _probe_backend(timeout_s: float = 300.0) -> None:
 
 
 def main() -> None:
+    from miraculix_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
     _probe_backend()
     import jax
     import jax.numpy as jnp

