@@ -148,3 +148,31 @@ def test_sharded2d_grm_diag_and_pcg(mesh, panel):
                              np.asarray(b))
     x = np.asarray(res.x)[: g.shape[0]]
     assert np.abs(x - want_x).max() / np.abs(want_x).max() < 1e-4
+
+
+def test_multi_v_solver_2d_matches_dense(mesh, panel):
+    """gblup._multi_v_solver on a 2D-sharded container: the traced-Sg/Se
+    device CG must match a dense f64 Kronecker solve (and so the
+    single-chip path tested in test_gblup)."""
+    from miraculix_tpu import gblup
+
+    n, t, m = panel.shape[0], 2, 3
+    sg2d = parallel.shard_genotypes_2d(panel, mesh)
+    f = np.asarray(sg2d.freq, np.float64)[: panel.shape[1]]
+    zc = panel.astype(np.float64) - 2 * f
+    sig2 = float(sg2d.sigma2)
+    gs = zc @ zc.T / sig2
+
+    sgm = np.array([[1.0, 0.4], [0.4, 0.9]])
+    sem = np.array([[0.8, 0.1], [0.1, 1.1]])
+    v = np.kron(gs, sgm) + np.kron(np.eye(n), sem)
+
+    rng = np.random.default_rng(7)
+    b3 = rng.standard_normal((n, t, m))
+    solve = gblup._multi_v_solver(sg2d, t, np.diag(gs), cg_tol=1e-6,
+                                  cg_maxiter=3000)
+    x3, _ = solve(b3, sgm, sem)
+    x_ref = np.linalg.solve(v, b3.reshape(n * t, m))
+    rel = (np.linalg.norm(x3.reshape(n * t, m) - x_ref, axis=0)
+           / np.linalg.norm(x_ref, axis=0))
+    assert rel.max() < 3e-4, rel
