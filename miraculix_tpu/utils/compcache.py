@@ -5,6 +5,12 @@ streamed CG measured 1464 s via the remote compiler, BENCHMARKS.md); a
 disk cache makes the second session skip them (VERDICT r3 Weak #7).
 Backends whose plugin does not support serialized executables simply
 ignore the setting — enabling is always safe.
+
+Measured caveat (round 4): the axon TPU plugin is one of the backends
+that IGNORES it — a two-process probe left the cache directory empty and
+the second compile no faster.  On axon, recompile amortization comes from
+the server-side remote-compile cache instead; this wiring still pays off
+on CPU and standard TPU/GPU runtimes.
 """
 from __future__ import annotations
 
