@@ -770,23 +770,33 @@ def ld(
     return m * m if squared else m
 
 
-def missing_indicator_packing_t(g: GenoMatrix) -> "np.ndarray":
+def missing_indicator_packing_t(g: GenoMatrix, row0: int = 0,
+                                rows_out: Optional[int] = None
+                                ) -> "np.ndarray":
     """Planar16 packing (SNP-major orientation, like ``zq_t``) of the
     MISSING indicator: 1 exactly at recorded missing coordinates.  Rect
     crossproducts of this packing against ``zq_t`` give the per-pair sums
     Σ_{i∈miss(s)} z_ic — every term of the exact banded-LD missing
-    correction — as exact int32 on the same MXU kernel (host numpy;
-    callers slice row blocks like they slice zq_t)."""
+    correction — as exact int32 on the same MXU kernel (host numpy).
+
+    ``row0``/``rows_out`` restrict to SNP rows [row0, row0+rows_out) (zero
+    rows past the panel), so blocked callers build only their tile's slice
+    instead of a second full-size transposed packing — at 1M SNPs x 100K
+    individuals the full array is ~25 GB host RAM for possibly one missing
+    call."""
     import numpy as np
 
     spad, kwi = g.zq_t.shape
-    arr = np.zeros((spad, kwi), np.uint32)
+    nrows = (spad - row0) if rows_out is None else rows_out
+    arr = np.zeros((nrows, kwi), np.uint32)
     if g.miss_rows_n is not None and g.miss_rows_n.shape[0]:
         mi = np.asarray(g.miss_rows_n, np.int64)
         ms = np.asarray(g.miss_cols_n, np.int64)
-        np.bitwise_or.at(
-            arr, (ms, mi % kwi),
-            (np.uint32(1) << (2 * (mi // kwi)).astype(np.uint32)))
+        sel = (ms >= row0) & (ms < row0 + nrows)
+        if sel.any():
+            np.bitwise_or.at(
+                arr, (ms[sel] - row0, mi[sel] % kwi),
+                (np.uint32(1) << (2 * (mi[sel] // kwi)).astype(np.uint32)))
     return arr
 
 
@@ -861,8 +871,9 @@ def ld_windowed(
         mc = np.bincount(np.asarray(g.miss_cols_n, np.int64),
                          minlength=snps).astype(np.float64)
         var = zsq - 4.0 * f * ssum + 4.0 * f * f * (n - mc)
-        miss_t = missing_indicator_packing_t(g)
-        # which row blocks contain any missing entry (skip clean blocks)
+        # which row blocks contain any missing entry (skip clean blocks);
+        # indicator packings are built PER BLOCK below — a full-size
+        # second packing doubled host RAM on out-of-core panels
         blk_has_miss = np.bincount(
             np.asarray(g.miss_cols_n, np.int64) // rb, minlength=nb) > 0
     else:
@@ -901,8 +912,10 @@ def ld_windowed(
             cmiss = (mc[r0: r0 + c1] > 0).any()
             mzr = mzc = mmrc = 0.0
             if rmiss or cmiss:
-                mi_i = rows(r0, r0 + rb, miss_t)
-                mi_j = rows(r0, r0 + rb + wb, miss_t)
+                mi_i = jnp.asarray(
+                    missing_indicator_packing_t(g, r0, rb))
+                mi_j = jnp.asarray(
+                    missing_indicator_packing_t(g, r0, rb + wb))
             if rmiss:
                 mzr = np.asarray(packed_crossprod_rect(
                     mi_i, zj, interpret=interpret))[:nrow, :c1].astype(
@@ -979,13 +992,16 @@ def ld_score(
         # in place on the f32 band (O(snps*window) is the whole footprint);
         # out-of-panel (and cross-chromosome) partners must stay exactly 0
         band -= (1.0 - band) / np.float32(n - 2)
+        # column-at-a-time re-zeroing (out-of-panel + cross-chromosome
+        # pairs): O(snps) extra memory per offset — a full [snps, window]
+        # partner-index matrix tripled peak RAM on exactly the
+        # out-of-core panels this banded path exists for
+        ch = None if chrom is None else np.asarray(chrom)
         for d in range(window):
-            band[max(snps - d - 1, 0):, d] = 0.0
-        if chrom is not None:
-            ch = np.asarray(chrom)
-            partner = np.minimum(np.arange(snps)[:, None] + 1
-                                 + np.arange(window)[None, :], snps - 1)
-            band[ch[partner] != ch[:, None]] = 0.0
+            lim = max(snps - d - 1, 0)
+            band[lim:, d] = 0.0
+            if ch is not None and lim > 0:
+                band[:lim, d][ch[:lim] != ch[d + 1: d + 1 + lim]] = 0.0
     score = 1.0 + band.sum(axis=1, dtype=np.float64)
     for d in range(window):  # incoming pairs: band[s-d-1, d] contributes to s
         score[d + 1:] += band[: snps - d - 1, d]

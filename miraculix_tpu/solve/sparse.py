@@ -251,9 +251,19 @@ def _solve_jit(b, dinv, floc, fgat, fval, bloc, bgat, bval, starts,
                         bs=bs, transpose_diag=True, reverse=lower)
 
 
+@jax.tree_util.register_pytree_node_class
 class SparseTriangularSolver:
     """Init-once / solve-many triangular solver (lifecycle of ``sparse2gpu``
     / ``dcsrtrsv_solve_gpu`` / ``free_sparse_gpu``, solve_cuda.h:54-74).
+
+    Registered as a pytree so jitted callers take the solver as an
+    ARGUMENT (``jit(lambda slv, b: slv.solve_lltx(b))``): closing over it
+    embeds the analysis buffers as HLO constants — at n=1e6/bs=512 that is
+    a 2.69 GB serialized program shipped to the remote compiler per trace
+    (the ssGBLUP HTTP-413 lesson).  Host-side state (the f64 triplets
+    backing :meth:`solve_f64` and the CSR cache) is NOT a leaf; instances
+    reconstructed inside a trace carry ``None`` there, which only the
+    host-refinement methods touch.
 
     Parameters mirror the reference: COO triplets (1-based indices by
     default, as the Fortran callers supply them), matrix size, optional row
@@ -333,6 +343,26 @@ class SparseTriangularSolver:
         self._host64 = (rows.astype(np.int64), cols.astype(np.int64), vals)
         self._csr_cache = {}
 
+    # -- pytree protocol ---------------------------------------------------
+    _LEAVES = ("_dinv", "_fwd", "_bwd", "_starts", "_rows", "_cols",
+               "_vals")
+    _AUX = ("n", "lower", "bs", "nnz", "nb", "npad", "_dtype")
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, k) for k in self._LEAVES),
+                tuple(getattr(self, k) for k in self._AUX))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        for k, v in zip(cls._LEAVES, leaves):
+            setattr(obj, k, v)
+        for k, v in zip(cls._AUX, aux):
+            setattr(obj, k, v)
+        obj._host64 = None          # host-only; trace-side copies lack it
+        obj._csr_cache = {}
+        return obj
+
     # -- O(nnz) sparse matvec (for residuals / refinement) ----------------
     def matvec(self, x: jax.Array, trans: str = "n") -> jax.Array:
         """y = L x ('n') or Lᵀ x ('t'), one scatter-add over the COO."""
@@ -398,13 +428,22 @@ class SparseTriangularSolver:
 
     # -- f64-grade solves: mixed-precision iterative refinement -----------
     def _host_csr(self, trans: str):
+        if self._host64 is None:
+            raise RuntimeError(
+                "f64-grade refinement needs the ORIGINAL solver instance "
+                "(host f64 triplets are not pytree leaves; a solver "
+                "reconstructed inside jit cannot do host residuals)")
         if trans not in self._csr_cache:
             from scipy import sparse
 
-            r, c, v = self._host64
-            a = sparse.csr_matrix((v, (r, c)), shape=(self.n, self.n))
-            self._csr_cache["n"] = a
-            self._csr_cache["t"] = a.T.tocsr()
+            # lazy per-orientation: solve_f64(trans='n') never needs the
+            # transpose (an extra full sort/copy, ~nnz*12 bytes)
+            if trans == "n":
+                r, c, v = self._host64
+                self._csr_cache["n"] = sparse.csr_matrix(
+                    (v, (r, c)), shape=(self.n, self.n))
+            else:
+                self._csr_cache["t"] = self._host_csr("n").T.tocsr()
         return self._csr_cache[trans]
 
     def solve_f64(self, b, trans: str = "n", tol: float = 1e-12,
