@@ -303,11 +303,22 @@ def cmd_gwas(args) -> int:
                 parts = line.split()
                 vals.append(float(parts[5]) if len(parts) > 5 else np.nan)
         y = np.asarray(vals)
-        if np.isnan(y).any() or np.all(y == y[0]):
+        if (y == -9).any() and not np.all(y == -9):
+            # PLINK missing-phenotype code: regressing against -9.0 emits
+            # silently-wrong statistics (cmd_reml rejects it the same way)
+            raise SystemExit(f"{int((y == -9).sum())} individuals have "
+                             "missing phenotype (-9); subset the panel "
+                             "first (e.g. qc --mind or plink --prune)")
+        if np.isnan(y).any() or np.all(y == y[0]) or np.all(y == -9):
             y = None
     except (OSError, ValueError):
         y = None
     if y is None:
+        if args.stream_chunk > 0:
+            raise SystemExit(
+                "--stream-chunk panels need real .fam phenotypes: the "
+                "simulated-phenotype fallback would densify the full "
+                "panel the streaming mode exists to avoid")
         from .io import bed as bedio
 
         dense, _ = bedio.read_bed_genotypes(args.bed)
@@ -316,6 +327,10 @@ def cmd_gwas(args) -> int:
     if args.loco and not args.mixed:
         raise SystemExit("--loco requires --mixed (it modifies the "
                          "mixed-model GRM, not the linear/logistic scans)")
+    if args.loco and args.stream_chunk > 0:
+        raise SystemExit("--loco needs the panel on device (per-chromosome "
+                         "packed subsets); drop --stream-chunk or run "
+                         "gwas_mixed per pre-split chromosome panel")
     from .io.bed import read_bim
 
     bim = read_bim(args.bed)
@@ -328,7 +343,7 @@ def cmd_gwas(args) -> int:
 
         yb = np.asarray(y)
         uniq = np.unique(yb)
-        if not np.isin(uniq, (0.0, 1.0, 1.0)).all():
+        if not np.isin(uniq, (0.0, 1.0)).all():
             # PLINK convention: 1=control, 2=case
             if set(uniq) <= {1.0, 2.0}:
                 yb = yb - 1.0
@@ -450,7 +465,6 @@ def cmd_pedigree(args) -> int:
 
     from .pedigree import a_inverse, inbreeding, read_pedigree
 
-    sire, dam = None, None
     sire, dam, labels = read_pedigree(args.pedigree)
     n = len(labels)
     f = np.zeros(n) if args.no_inbreeding else inbreeding(sire, dam)
@@ -572,6 +586,11 @@ def cmd_reml(args) -> int:
             rows = rows[1:]          # header line
         if not rows:
             raise SystemExit("--bivar file has no data rows")
+        if len(rows[0]) == 2:
+            raise SystemExit("--bivar rows have 2 columns — ambiguous "
+                             "(a numeric ID would silently be read as the "
+                             "phenotype): use ONE value per .fam row, or "
+                             "keyed 'FID IID value' rows")
         keyed = len(rows[0]) >= 3
         if any(len(r) != len(rows[0]) for r in rows):
             raise SystemExit("--bivar file is ragged (rows with differing "

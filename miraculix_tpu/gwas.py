@@ -43,6 +43,34 @@ class GWASResult(NamedTuple):
     df: int               # residual degrees of freedom
 
 
+def _snp_residual_denominators(g, x: np.ndarray,
+                               xtx_inv: np.ndarray) -> np.ndarray:
+    """d_s = z_sᵀ M z_s for every SNP (clamped at 0): one packed 't' pass
+    (ZᵀX) plus the exact one-pass Σz² row stats — the per-SNP denominator
+    shared by the linear, mixed, and LOCO scans.  Streams chunk by chunk
+    on a StreamedGeno."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.common import packed_row_sq_stats
+    from .ops.dgemm import dgemm
+    from .streamed import StreamedGeno
+
+    if isinstance(g, StreamedGeno):
+        a = np.asarray(g.dgemm(x.astype(np.float32), trans="t",
+                               center=False), np.float64)
+        zsq = np.concatenate([
+            np.asarray(jax.jit(packed_row_sq_stats)(jnp.asarray(c.zq_t)),
+                       np.float64)[: c.snps]
+            for c in g.chunks])
+    else:
+        a = np.asarray(dgemm(g, jnp.asarray(x, jnp.float32), trans="t",
+                             center=False), np.float64)      # ZᵀX [snps, p]
+        zsq = np.asarray(jax.jit(packed_row_sq_stats)(g.zq_t),
+                         np.float64)[: g.snps]               # diag(ZᵀZ)
+    return np.maximum(zsq - np.einsum("sp,pq,sq->s", a, xtx_inv, a), 0.0)
+
+
 def gwas_linear(
     g,
     y: np.ndarray,
@@ -57,7 +85,6 @@ def gwas_linear(
     """
     import jax.numpy as jnp
 
-    from .ops.common import packed_row_sq_stats
     from .ops.dgemm import dgemm
 
     n = g.indiv
@@ -87,28 +114,14 @@ def gwas_linear(
     # the three packed passes (device; f32-grade is ample for test stats)
     from .streamed import StreamedGeno
 
-    import jax
-
     if isinstance(g, StreamedGeno):
         num = np.asarray(g.dgemm(y_res[:, None].astype(np.float32),
                                  trans="t", center=False), np.float64)[:, 0]
-        a = np.asarray(g.dgemm(x.astype(np.float32), trans="t",
-                               center=False), np.float64)
-        stats = jax.jit(packed_row_sq_stats)
-        zsq = np.concatenate(
-            [np.asarray(stats(c.zq_t), np.float64)[: c.snps]
-             for c in g.chunks])
     else:
         num = np.asarray(dgemm(
             g, jnp.asarray(y_res[:, None], jnp.float32), trans="t",
             center=False), np.float64)[:, 0]                  # Zᵀ M y
-        a = np.asarray(dgemm(
-            g, jnp.asarray(x, jnp.float32), trans="t", center=False),
-            np.float64)                                       # Zᵀ X [snps,p]
-        zsq = np.asarray(jax.jit(packed_row_sq_stats)(g.zq_t),
-                         np.float64)[: g.snps]                # diag(ZᵀZ)
-    d = zsq - np.einsum("sp,pq,sq->s", a, xtx_inv, a)
-    d = np.maximum(d, 0.0)
+    d = _snp_residual_denominators(g, x, xtx_inv)
 
     with np.errstate(divide="ignore", invalid="ignore"):
         beta = np.where(d > 0, num / np.maximum(d, 1e-300), 0.0)
@@ -184,18 +197,24 @@ def gwas_mixed(
     xtx_inv = np.linalg.inv(x.T @ x)
     y_res = y - x @ (xtx_inv @ (x.T @ y))
 
-    # sampled SNP columns for gamma, as one packed 'n' pass with a one-hot
+    # sampled SNP columns for gamma: on-device subset repack + identity
+    # RHS (O(indiv·k)); a [snps, k] one-hot was 256 MB at 1M SNPs just to
+    # pick 64 columns.  StreamedGeno has no subset — keep the one-hot
+    # there (its dgemm streams the RHS chunk by chunk anyway)
     rng = np.random.default_rng(seed)
     k = min(n_gamma_snps, g.snps)
     sample = np.sort(rng.choice(g.snps, size=k, replace=False))
-    onehot = np.zeros((g.snps, k), np.float32)
-    onehot[sample, np.arange(k)] = 1.0
     if streamed:
+        onehot = np.zeros((g.snps, k), np.float32)
+        onehot[sample, np.arange(k)] = 1.0
         zcols = np.asarray(g.dgemm(onehot, trans="n", center=False),
                            np.float64)
     else:
-        zcols = np.asarray(dgemm(g, jnp.asarray(onehot), trans="n",
-                                 center=False), np.float64)    # [n, k]
+        from .geno import subset_snps
+
+        zcols = np.asarray(dgemm(
+            subset_snps(g, sample), jnp.asarray(np.eye(k, dtype=np.float32)),
+            trans="n", center=False), np.float64)              # [n, k]
     mzcols = zcols - x @ (xtx_inv @ (x.T @ zcols))             # M z_s
 
     # ONE block CG over [y_res | projected sampled columns]
@@ -217,23 +236,7 @@ def gwas_mixed(
     ystar = ystar - x @ (xtx_inv @ (x.T @ ystar))
 
     # d_s = z_s' M z_s for all SNPs (linear-scan identity)
-    import jax
-
-    from .ops.common import packed_row_sq_stats
-
-    if streamed:
-        a = np.asarray(g.dgemm(x.astype(np.float32), trans="t",
-                               center=False), np.float64)
-        zsq = np.concatenate([
-            np.asarray(jax.jit(packed_row_sq_stats)(
-                jnp.asarray(c.zq_t)), np.float64)[: c.snps]
-            for c in g.chunks])
-    else:
-        a = np.asarray(dgemm(g, jnp.asarray(x, jnp.float32), trans="t",
-                             center=False), np.float64)
-        zsq = np.asarray(jax.jit(packed_row_sq_stats)(g.zq_t),
-                         np.float64)[: g.snps]
-    d = np.maximum(zsq - np.einsum("sp,pq,sq->s", a, xtx_inv, a), 0.0)
+    d = _snp_residual_denominators(g, x, xtx_inv)
 
     dv = np.einsum("nk,nk->k", mzcols, vcols)   # (Mz_s)' V^-1 (Mz_s)
     ds = d[sample]
@@ -371,6 +374,41 @@ def gwas_logistic(
     return GWASResult(beta=beta, se=se, t=zstat, p=pvals, df=1)
 
 
+_loco_cg_jit = None
+
+
+def _loco_cg(g, g_c, rhs, s2_loco, lam, *, tol, maxiter):
+    """Jacobi-PCG on the LOCO operator (G_full − G_c)/σ²_(-c) + λI, as ONE
+    lazily-built MODULE-level jitted program: both GenoMatrix pytrees are
+    ARGUMENTS, so equal-shaped chromosomes genuinely share one executable
+    and the packed panel never bakes in as an HLO constant (a
+    per-chromosome @jax.jit closure recompiled every iteration of the
+    chromosome loop AND embedded the panel — the ssGBLUP HTTP-413
+    anti-pattern)."""
+    global _loco_cg_jit
+    if _loco_cg_jit is None:
+        import functools
+
+        import jax
+
+        from .solve.cg import cg, grm_diag, grm_matvec, jacobi_minv
+
+        @functools.partial(jax.jit, static_argnames=("tol", "maxiter"))
+        def run(g, g_c, rhs, s2_loco, lam, *, tol, maxiter):
+            def op(v):
+                gv = (grm_matvec(g, v, center=True)
+                      - grm_matvec(g_c, v, center=True)) / s2_loco
+                return gv + lam * v
+
+            minv = jacobi_minv((grm_diag(g, center=True)
+                                - grm_diag(g_c, center=True)) / s2_loco
+                               + lam)
+            return cg(op, rhs, tol=tol, maxiter=maxiter, minv=minv)
+
+        _loco_cg_jit = run
+    return _loco_cg_jit(g, g_c, rhs, s2_loco, lam, tol=tol, maxiter=maxiter)
+
+
 def gwas_mixed_loco(
     g,
     y: np.ndarray,
@@ -399,14 +437,20 @@ def gwas_mixed_loco(
     chromosome-independent and computed once.  gamma is re-estimated per
     chromosome from SNPs sampled WITHIN it.
     """
-    import jax
     import jax.numpy as jnp
 
     from .geno import subset_snps
-    from .ops.common import packed_row_sq_stats
     from .ops.dgemm import dgemm
-    from .solve.cg import cg, grm_diag, grm_matvec, jacobi_minv
 
+    from .streamed import StreamedGeno
+
+    if isinstance(g, StreamedGeno):
+        raise TypeError(
+            "gwas_mixed_loco needs a device GenoMatrix (the LOCO operator "
+            "subsets the packed panel per chromosome); for out-of-core "
+            "panels run gwas_mixed per chromosome with a pre-split panel, "
+            "or materialize: GenoMatrix supports ~4B genotypes per 16 GB "
+            "HBM packed")
     n = g.indiv
     lam = (1.0 - h2) / h2
     y = np.asarray(y, np.float64).reshape(n)
@@ -427,11 +471,7 @@ def gwas_mixed_loco(
     y_res = proj(y)
 
     # d_s once, over the full panel (chromosome-independent)
-    a = np.asarray(dgemm(g, jnp.asarray(x, jnp.float32), trans="t",
-                         center=False), np.float64)
-    zsq = np.asarray(jax.jit(packed_row_sq_stats)(g.zq_t),
-                     np.float64)[: g.snps]
-    d = np.maximum(zsq - np.einsum("sp,pq,sq->s", a, xtx_inv, a), 0.0)
+    d = _snp_residual_denominators(g, x, xtx_inv)
 
     freq = np.asarray(g.freq, np.float64)
     sigma2 = float(g.sigma2)
@@ -444,11 +484,11 @@ def gwas_mixed_loco(
         mask = chrom == c
         idx = np.flatnonzero(mask)
         # chromosome panel with the FULL panel's frequencies -> exact
-        # subtraction of the two centered operators (solve_loco re-jits
-        # per distinct chromosome SHAPE; equal-sized chromosomes share
-        # one compile).  subset_snps repacks ON DEVICE (2-bit field
-        # gather) — the old host decode+repack was the one application
-        # path that densified (VERDICT r3 Weak #4).
+        # subtraction of the two centered operators (_loco_cg compiles
+        # once per distinct chromosome SHAPE; equal-sized chromosomes
+        # share one executable).  subset_snps repacks ON DEVICE (2-bit
+        # field gather) — the old host decode+repack was the one
+        # application path that densified (VERDICT r3 Weak #4).
         g_c = subset_snps(g, idx)
         s2_loco = sigma2 - float(2.0 * np.sum(freq[idx]
                                               * (1.0 - freq[idx])))
@@ -457,25 +497,16 @@ def gwas_mixed_loco(
 
         k = min(n_gamma_snps, len(idx))
         sample_local = np.sort(rng.choice(len(idx), size=k, replace=False))
-        onehot = np.zeros((len(idx), k), np.float32)
-        onehot[sample_local, np.arange(k)] = 1.0
-        zcols = np.asarray(dgemm(g_c, jnp.asarray(onehot), trans="n",
-                                 center=False), np.float64)
+        zcols = np.asarray(dgemm(
+            subset_snps(g, idx[sample_local]),
+            jnp.asarray(np.eye(k, dtype=np.float32)), trans="n",
+            center=False), np.float64)
         mzcols = proj(zcols)
 
-        minv = jacobi_minv((grm_diag(g, center=True)
-                            - grm_diag(g_c, center=True)) / s2_loco + lam)
-
-        @jax.jit
-        def solve_loco(rhs):
-            def op(v):
-                gv = (grm_matvec(g, v, center=True)
-                      - grm_matvec(g_c, v, center=True)) / s2_loco
-                return gv + lam * v
-            return cg(op, rhs, tol=tol, maxiter=maxiter, minv=minv)
-
         rhs = np.concatenate([y_res[:, None], mzcols], axis=1)
-        res = solve_loco(jnp.asarray(rhs, jnp.float32))
+        res = _loco_cg(g, g_c, jnp.asarray(rhs, jnp.float32),
+                       jnp.float32(s2_loco), jnp.float32(lam),
+                       tol=tol, maxiter=maxiter)
         solved = np.asarray(res.x, np.float64)
         iters_total += int(res.iterations)
         ystar = proj(solved[:, 0])

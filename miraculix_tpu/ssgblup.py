@@ -505,12 +505,20 @@ def run_ssgblup(bed_path: str, pedigree_path: str,
                 ln = ln.split("#", 1)[0].strip()
                 if not ln:
                     continue
-                a, v = ln.split()[:2]
+                parts = ln.split()
+                if len(parts) < 2:
+                    raise SystemExit(f"{pheno_path}:{lineno}: need "
+                                     "'animal value' (got 1 token)")
+                a, v = parts[:2]
                 if a not in code:
                     raise SystemExit(f"{pheno_path}:{lineno}: animal {a!r} "
                                      "not in the pedigree")
                 obs_l.append(code[a])
-                y_l.append(float(v))
+                try:
+                    y_l.append(float(v))
+                except ValueError:
+                    raise SystemExit(f"{pheno_path}:{lineno}: non-numeric "
+                                     f"phenotype {v!r}")
         obs_ids = np.array(obs_l, np.int64)
         y = np.array(y_l)
     else:

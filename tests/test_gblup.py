@@ -983,3 +983,30 @@ def test_multi_reml_device_cg_matches_host():
     np.testing.assert_allclose(sg_d, sg_h, atol=5e-3)
     np.testing.assert_allclose(se_d, se_h, atol=5e-3)
     np.testing.assert_allclose(det_d["h2"], det_h["h2"], atol=5e-3)
+
+
+def test_cli_reml_bivar_rejects_two_column_file(tmp_path, capsys):
+    """A 2-column --bivar file is ambiguous (numeric IIDs would silently
+    be read as phenotypes) — must exit with a clear message."""
+    import pytest
+
+    from miraculix_tpu import cli
+
+    geno = bed.simulate_genotypes(50, 200, seed=9)
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(50)
+    p = str(tmp_path / "b.bed")
+    bed.write_bed(p, geno)
+    fam = open(p[:-4] + ".fam").read().splitlines()
+    with open(p[:-4] + ".fam", "w") as fh:
+        for k, ln in enumerate(fam):
+            parts = ln.split()
+            parts[5] = f"{y[k]:.5f}"
+            fh.write(" ".join(parts) + "\n")
+    bv = str(tmp_path / "t2.txt")
+    with open(bv, "w") as fh:
+        for k in range(50):
+            fh.write(f"{k} {y[k]:.5f}\n")   # "IID value" — ambiguous
+    with pytest.raises(SystemExit, match="2 columns"):
+        cli.main(["reml", p, "--bivar", bv])
+    capsys.readouterr()

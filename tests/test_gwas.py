@@ -326,3 +326,61 @@ def test_gwas_loco_subset_no_densify(tmp_path, monkeypatch):
                           maxiter=2000)
     assert np.isfinite(res.chi2).all()
     assert res.chi2[5] > np.median(res.chi2) * 3
+
+
+def test_cli_gwas_guards(tmp_path, capsys):
+    """CLI gwas input guards: -9 phenotypes rejected with remediation
+    (PLINK missing code regressed as a real value = silent garbage),
+    --stream-chunk without .fam phenotypes refuses to densify, and
+    --loco + --stream-chunk is rejected (LOCO subsets the device panel)."""
+    import numpy as np
+    import pytest
+
+    from miraculix_tpu import cli
+    from miraculix_tpu.io import bed as bedio
+
+    geno = bedio.simulate_genotypes(60, 200, seed=5)
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal(60)
+    p = str(tmp_path / "g.bed")
+    bedio.write_bed(p, geno)
+    fam = open(p[:-4] + ".fam").read().splitlines()
+
+    def write_pheno(vals):
+        with open(p[:-4] + ".fam", "w") as fh:
+            for k, ln in enumerate(fam):
+                parts = ln.split()
+                parts[5] = str(vals[k])
+                fh.write(" ".join(parts) + "\n")
+
+    out = str(tmp_path / "o.tsv")
+    yv = [f"{v:.5f}" for v in y]
+    yv[3] = "-9"
+    write_pheno(yv)
+    with pytest.raises(SystemExit, match="missing phenotype"):
+        cli.main(["gwas", p, "-o", out])
+
+    write_pheno(["-9"] * 60)  # ALL missing + streamed: refuse to densify
+    with pytest.raises(SystemExit, match="stream-chunk"):
+        cli.main(["gwas", p, "-o", out, "--stream-chunk", "128"])
+
+    write_pheno([f"{v:.5f}" for v in y])
+    with pytest.raises(SystemExit, match="loco"):
+        cli.main(["gwas", p, "-o", out, "--stream-chunk", "128",
+                  "--mixed", "--loco"])
+    capsys.readouterr()
+
+
+def test_gwas_mixed_loco_rejects_streamed(tmp_path):
+    from miraculix_tpu import gwas
+    from miraculix_tpu.io import bed as bedio
+    from miraculix_tpu.streamed import StreamedGeno
+
+    import numpy as np
+    import pytest
+
+    p = str(tmp_path / "s.bed")
+    bedio.write_bed(p, bedio.simulate_genotypes(40, 120, seed=2))
+    sg = StreamedGeno.from_bed(p, chunk_snps=64)
+    with pytest.raises(TypeError, match="GenoMatrix"):
+        gwas.gwas_mixed_loco(sg, np.zeros(40), np.zeros(120, np.int64))
