@@ -160,8 +160,11 @@ def subset_snps(g: GenoMatrix, idx, freq: Optional[np.ndarray] = None
       decode's O(indiv * |idx|) single-core bytes + repack + H2D.
 
     ``freq`` defaults to the PARENT panel's frequencies at ``idx`` (what a
-    leave-one-chromosome-out operator needs); pseudo-frequencies and
-    missing index lists are subset-dependent and dropped.
+    leave-one-chromosome-out operator needs); pseudo-frequency caches are
+    subset-dependent and dropped.  Missing coordinate lists are restricted
+    to ``idx`` and remapped (duplicate indices in ``idx`` keep only the
+    last occurrence's missing coordinates), so
+    ``dgemm(ignore_missings=False)`` stays exact on the subset.
     """
     idx = np.asarray(idx, np.int64)
     if idx.ndim != 1 or (idx.size and (idx.min() < 0 or
@@ -197,8 +200,21 @@ def subset_snps(g: GenoMatrix, idx, freq: Optional[np.ndarray] = None
 
     fsub = (jnp.asarray(g.freq)[jnp.asarray(idx)] if freq is None
             else jnp.asarray(freq, jnp.float32))
+    # missing coordinates restrict + remap to subset SNP positions — a
+    # dropped list would make dgemm(ignore_missings=False) silently skip
+    # its correction on the subset (the gate is `miss_rows_n is not None`)
+    mr = mc = None
+    if g.miss_rows_n is not None:
+        mrows = np.asarray(g.miss_rows_n, np.int64)
+        mcols = np.asarray(g.miss_cols_n, np.int64)
+        newpos = np.full(g.snps, -1, np.int64)
+        newpos[idx] = np.arange(m)
+        sel = newpos[mcols] >= 0
+        mr = jnp.asarray(mrows[sel].astype(np.int32))
+        mc = jnp.asarray(newpos[mcols[sel]].astype(np.int32))
     return GenoMatrix(snps=m, indiv=g.indiv, zq_n=zq_n_new,
-                      zq_t=zq_t_new, freq=fsub)
+                      zq_t=zq_t_new, freq=fsub,
+                      miss_rows_n=mr, miss_cols_n=mc)
 
 
 def from_dense(

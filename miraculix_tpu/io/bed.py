@@ -31,6 +31,34 @@ def _count_lines(path: str) -> int:
     return n
 
 
+def _fileset_dims(path: str):
+    """Shared fileset header logic for every .bed reader: validates the
+    '.bed' suffix (path[:-4] on anything else silently mangles the
+    companion paths), requires the .fam/.bim companions, and returns
+    (n_snps, n_indiv, nbytes_per_snp).  Four readers used to re-derive
+    this with drifting behavior."""
+    if not path.endswith(".bed"):
+        raise ValueError(f"file must end in .bed, got {path!r}")
+    fam = path[:-4] + ".fam"
+    bim = path[:-4] + ".bim"
+    for q in (fam, bim):
+        if not os.path.exists(q):
+            raise FileNotFoundError(f"missing supplementary file {q}")
+    n_indiv = _count_lines(fam)
+    n_snps = _count_lines(bim)
+    return n_snps, n_indiv, (n_indiv + 3) // 4
+
+
+def _norm_snp_range(snp_start: int, snp_end: int, n_snps: int):
+    """Range normalization shared by the slice readers: negative starts
+    raise (a sharding-math bug, not a request for the panel head);
+    past-the-end ranges clamp to an empty slice."""
+    if snp_start < 0:
+        raise ValueError(f"bad SNP range: snp_start={snp_start} < 0")
+    snp_end = min(snp_end, n_snps)
+    return min(snp_start, snp_end), snp_end
+
+
 def read_bed(path: str):
     """Read a PLINK .bed fileset.
 
@@ -38,16 +66,7 @@ def read_bed(path: str):
     payload as uint8 [ceil(indiv/4), snps] (SNP-major, Fortran-equivalent of
     the Julia reader's column layout).
     """
-    if not path.endswith(".bed"):
-        raise ValueError("file must end in .bed")
-    fam = path[:-4] + ".fam"
-    bim = path[:-4] + ".bim"
-    for p in (fam, bim):
-        if not os.path.exists(p):
-            raise FileNotFoundError(f"missing supplementary file {p}")
-    n_indiv = _count_lines(fam)
-    n_snps = _count_lines(bim)
-    nbytes = (n_indiv + 3) // 4
+    n_snps, n_indiv, nbytes = _fileset_dims(path)
     with open(path, "rb") as fh:
         magic = fh.read(3)
         if magic != BED_MAGIC:
@@ -71,11 +90,7 @@ def read_bed_payload(path: str, mmap: bool = True):
     ingestion then streams pages straight from the OS cache, halving peak
     host memory for panels at the reference's 25 GB "large" scale.
     """
-    fam = path[:-4] + ".fam"
-    bim = path[:-4] + ".bim"
-    n_indiv = _count_lines(fam)
-    n_snps = _count_lines(bim)
-    nbytes = (n_indiv + 3) // 4
+    n_snps, n_indiv, nbytes = _fileset_dims(path)
     with open(path, "rb") as fh:
         if fh.read(3) != BED_MAGIC:
             raise ValueError("not a valid .bed file (bad magic bytes)")
@@ -94,13 +109,8 @@ def read_bed_slice_payload(path: str, snp_start: int, snp_end: int):
     n_snps, n_indiv)`` with ``payload`` uint8 [snp_end-snp_start,
     ceil(indiv/4)] — the raw disk-order slice, ready for the fused native
     ingestion of one SNP shard."""
-    fam = path[:-4] + ".fam"
-    bim = path[:-4] + ".bim"
-    n_indiv = _count_lines(fam)
-    n_snps = _count_lines(bim)
-    snp_end = min(snp_end, n_snps)
-    snp_start = min(max(snp_start, 0), snp_end)
-    nbytes = (n_indiv + 3) // 4
+    n_snps, n_indiv, nbytes = _fileset_dims(path)
+    snp_start, snp_end = _norm_snp_range(snp_start, snp_end, n_snps)
     with open(path, "rb") as fh:
         if fh.read(3) != BED_MAGIC:
             raise ValueError("not a valid .bed file (bad magic bytes)")
@@ -121,15 +131,8 @@ def read_bed_slice(path: str, snp_start: int, snp_end: int):
     Returns ``(plink_slice, n_snps_total, n_indiv)`` with ``plink_slice``
     uint8 [ceil(indiv/4), snp_end - snp_start].
     """
-    fam = path[:-4] + ".fam"
-    bim = path[:-4] + ".bim"
-    n_indiv = _count_lines(fam)
-    n_snps = _count_lines(bim)
-    snp_end = min(snp_end, n_snps)
-    snp_start = min(snp_start, snp_end)  # past-the-end shard -> empty slice
-    if snp_start < 0:
-        raise ValueError("bad SNP range")
-    nbytes = (n_indiv + 3) // 4
+    n_snps, n_indiv, nbytes = _fileset_dims(path)
+    snp_start, snp_end = _norm_snp_range(snp_start, snp_end, n_snps)
     with open(path, "rb") as fh:
         if fh.read(3) != BED_MAGIC:
             raise ValueError("not a valid .bed file (bad magic bytes)")
@@ -152,9 +155,15 @@ def read_bed_genotypes(path: str):
     return geno, freq
 
 
-def write_bed(path: str, geno: np.ndarray) -> None:
+def write_bed(path: str, geno: np.ndarray,
+              write_companions: bool = True) -> None:
     """Write a dense genotype matrix [indiv, snps] (0/1/2, 3=missing) as a
-    PLINK .bed fileset with minimal .bim/.fam companions."""
+    PLINK .bed fileset with minimal .bim/.fam companions.
+
+    ``write_companions=False`` writes only the .bed payload — for callers
+    that produce the REAL .fam/.bim themselves (io.vcf), where the
+    placeholder rows would be written once just to be overwritten (and a
+    mid-rewrite failure would leave plausible-looking wrong companions)."""
     if not path.endswith(".bed"):
         raise ValueError("file must end in .bed")
     geno = np.asarray(geno, dtype=np.uint8)
@@ -163,6 +172,8 @@ def write_bed(path: str, geno: np.ndarray) -> None:
     with open(path, "wb") as fh:
         fh.write(BED_MAGIC)
         fh.write(plink.T.tobytes())  # SNP-major stream
+    if not write_companions:
+        return
     with open(path[:-4] + ".fam", "w") as fh:
         for i in range(n_indiv):
             fh.write(f"F{i} I{i} 0 0 0 -9\n")

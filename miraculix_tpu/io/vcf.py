@@ -100,7 +100,10 @@ def vcf_to_bed(vcf_path: str, bed_path: str) -> Tuple[int, int]:
     from . import bed as bedio
 
     geno, samples, variants = read_vcf(vcf_path)
-    bedio.write_bed(bed_path, geno)
+    # payload only: the REAL companions come from the VCF below (writing
+    # write_bed's placeholders first just to overwrite them risked leaving
+    # plausible-looking wrong .fam/.bim on a mid-rewrite failure)
+    bedio.write_bed(bed_path, geno, write_companions=False)
     with open(bed_path[:-4] + ".fam", "w") as fh:
         for s in samples:
             fh.write(f"{s} {s} 0 0 0 -9\n")

@@ -455,6 +455,8 @@ def packed_matmul_tall(
     """
     spad, kwi = zq_other.shape
     contract, n = b.shape
+    if mode not in ("split", "bf16", "f32"):
+        raise ValueError(f"mode must be split/bf16/f32, got {mode!r}")
     tile_s = pick_tile(spad, tile_s, 16)
     tile_kw = pick_tile(kwi, tile_kw, 128)
     ni = kwi // tile_kw
@@ -801,6 +803,11 @@ def dgemm(
     trans = trans.lower()
     if trans not in ("n", "t"):
         raise ValueError(f"trans must be 'n' or 't', got {trans!r}")
+    if precision not in ("bf16", "fast", "f32", "f64"):
+        # an unknown string would silently fall through to the f32 kernel
+        # — a caller expecting the exact f64 tier must not get ~1e-7
+        raise ValueError(f"precision must be one of bf16/fast/f32/f64, "
+                         f"got {precision!r}")
     if interpret is None:
         interpret = on_cpu()
     if b.ndim == 1:
@@ -821,7 +828,6 @@ def dgemm(
         raise ValueError("colmeans centering needs pseudo_freq")
     # streamed rows = n for single-pass modes, 2n for the hi/lo split
     tall_limit = 128 if precision in ("bf16", "f32") else 64
-    centered_done = False
     if precision == "f64":
         # as_numpy keeps the exact host-f64 recombination: without
         # jax_enable_x64, jnp.asarray(acc) would quantize the result to f32
@@ -889,7 +895,7 @@ def dgemm(
         )
         c = c[:rows]
 
-    if mode != "none" and not centered_done:
+    if mode != "none":
         bc = b.astype(c.dtype)
         if mode in ("rowmeans", "user"):
             cvec = (2.0 * g.freq if mode == "rowmeans" else user_vec)

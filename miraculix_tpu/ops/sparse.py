@@ -119,6 +119,15 @@ def sparse_times_geno_segsum(
     out_rows, gather_rows = (r, c) if ts == "n" else (c, r)
     if gather_rows.size and gather_rows.max() >= contract:
         raise ValueError("sparse column index exceeds the contraction axis")
+    # the 't' orientation puts the user-supplied col_idx on the OUTPUT
+    # axis — JAX's scatter-add silently DROPS out-of-bounds updates, so an
+    # unvalidated index (e.g. 0-based CSR with the default index_base=1)
+    # would silently lose nonzeros where method='dense' raises
+    if out_rows.size and (out_rows.max() >= n_idx or out_rows.min() < 0):
+        raise ValueError(
+            f"sparse row index out of range for n_idx={n_idx} "
+            f"(found {int(out_rows.min())}..{int(out_rows.max())}; "
+            f"index_base={index_base} mismatch?)")
 
     nnz = len(v)
     chunk = max(1, min(chunk, max(nnz, 1)))
@@ -163,13 +172,26 @@ def sparse_times_geno(
     ``method``: "dense" forces the MXU path (densified S), "segsum" the
     O(nnz) gather path (:func:`sparse_times_geno_segsum`; f32
     accumulation), "auto" picks segsum once densifying S would dominate
-    (n_idx beyond a few thousand — pedigree incidence scale).
+    (n_idx beyond a few thousand — pedigree incidence scale) — but only
+    at the default precision="f32": an explicit "fast"/"f64" request
+    keeps the dense path, and method="segsum" with a non-f32 tier raises.
     """
     if interpret is None:
         interpret = on_cpu()
     tg = trans_geno.lower()
     ts = trans_sparse.lower()
-    if method == "segsum" or (method == "auto" and n_idx > 4096):
+    # the segsum path accumulates in f32 scatter-adds: 'auto' only takes
+    # it at the default tier (an explicit f64/fast request stays on the
+    # dense path — silently downgrading the tier would betray the
+    # precision contract), and an explicit method='segsum' with a
+    # different tier is a contradiction worth an error
+    if method == "segsum" and precision != "f32":
+        raise ValueError(
+            f"precision={precision!r} is not available on the segsum path "
+            "(f32 scatter-add accumulation only); use method='dense' to "
+            "keep the requested tier, or precision='f32'")
+    if method == "segsum" or (method == "auto" and n_idx > 4096
+                              and precision == "f32"):
         return sparse_times_geno_segsum(
             g, row_ptr, col_idx, vals, n_idx, trans_sparse=ts,
             trans_geno=tg, index_base=index_base)

@@ -299,3 +299,43 @@ def test_dgemm_f64_tier_without_x64():
                          capture_output=True, text=True, timeout=300)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "ok" in res.stdout
+
+
+def test_subset_snps_keeps_missing_corrections():
+    """subset_snps must carry the restricted+remapped missing coordinate
+    lists: dgemm(ignore_missings=False) on the subset == the dense f64
+    oracle with missing entries contributing 0 (review finding: a dropped
+    list silently reverted to ignore_missings=True semantics)."""
+    import jax.numpy as jnp
+
+    from miraculix_tpu.geno import from_dense, subset_snps
+    from miraculix_tpu.ops.dgemm import dgemm
+
+    rng = np.random.default_rng(11)
+    geno = bed.simulate_genotypes(48, 96, seed=11, missing_rate=0.08)
+    gm = from_dense(geno, keep_missing_info=True)
+    idx = np.sort(rng.choice(96, size=40, replace=False))
+    sub = subset_snps(gm, idx)
+    assert sub.miss_rows_n is not None
+
+    b = rng.standard_normal((40, 3)).astype(np.float32)
+    got = np.asarray(dgemm(sub, jnp.asarray(b), trans="n", center=True,
+                           ignore_missings=False), np.float64)
+    f = np.asarray(gm.freq, np.float64)[idx]   # parent freqs at idx
+    zsub = geno[:, idx].astype(np.float64)
+    zc = np.where(zsub == 3, 0.0, zsub - 2.0 * f)   # missing contributes 0
+    want = zc @ b.astype(np.float64)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+def test_dgemm_rejects_unknown_precision():
+    import jax.numpy as jnp
+
+    g = bed.simulate_genotypes(16, 32, seed=0)
+    from miraculix_tpu.geno import from_dense
+    from miraculix_tpu.ops.dgemm import dgemm
+
+    gm = from_dense(g)
+    b = np.zeros((32, 2), np.float32)
+    with pytest.raises(ValueError, match="precision"):
+        dgemm(gm, jnp.asarray(b), trans="n", precision="exact")

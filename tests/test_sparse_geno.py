@@ -78,3 +78,39 @@ def test_segsum_empty_rows_ok(rng):
     want = np.zeros((3, 16))
     want[1] = 1.0 * g[1] - 2.0 * g[4]
     np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_segsum_rejects_out_of_range_output_index(rng):
+    """trans_sparse='t' puts the user's col indices on the OUTPUT axis,
+    where JAX scatter-add silently DROPS out-of-bounds updates — the
+    segsum path must raise like the dense path does (review finding)."""
+    g = bed.simulate_genotypes(40, 48, seed=9)
+    gm = from_dense(g)
+    n_idx = 6
+    ia, ja, a, s = _random_csr(rng, 40, n_idx)
+    ja_bad = ja.copy()
+    ja_bad[0] = n_idx + 1          # 1-based index past n_idx
+    with pytest.raises(ValueError, match="out of range"):
+        sparse_times_geno_segsum(gm, ia, ja_bad, a, n_idx,
+                                 trans_sparse="t", trans_geno="n")
+
+
+def test_auto_respects_explicit_precision(rng):
+    """method='auto' must not silently downgrade an explicit f64 request
+    to the f32 segsum path; method='segsum' + non-f32 tier raises."""
+    g = bed.simulate_genotypes(24, 32, seed=3)
+    gm = from_dense(g)
+    n_idx = 5000                   # beyond the auto segsum threshold
+    ia = np.arange(n_idx + 1) % 2
+    ia = np.concatenate([[0], np.cumsum(ia[1:])]) + 1
+    nnz = int(ia[-1] - 1)
+    ja = (np.arange(nnz) % 24) + 1
+    a = np.ones(nnz)
+    dense64 = np.asarray(sparse_times_geno(
+        gm, ia, ja, a, n_idx, precision="f64", method="dense"))
+    auto64 = np.asarray(sparse_times_geno(
+        gm, ia, ja, a, n_idx, precision="f64", method="auto"))
+    np.testing.assert_array_equal(dense64, auto64)
+    with pytest.raises(ValueError, match="segsum"):
+        sparse_times_geno(gm, ia, ja, a, n_idx, precision="f64",
+                          method="segsum")
