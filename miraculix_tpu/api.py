@@ -148,10 +148,15 @@ def dgemm_plink(
     IS the (cheap, fused) conversion."""
     obj = plink2compressed(plink, plink_transposed, snps, indiv, f=f)
     opts = get_global_options()
+    # full latched-option parity with dgemm_compressed: dropping
+    # normalize/ignore_missings here made the two facade entries disagree
+    # under the same set_options state
     out = _dgemm(
         obj, np.asarray(B), trans=trans,
         center=opts.center and f is not None,
+        normalize=opts.normalize,
         precision=opts.precision,
+        ignore_missings=opts.ignore_missings,
     )
     out = np.asarray(out)
     if C is not None:

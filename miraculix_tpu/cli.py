@@ -167,15 +167,14 @@ def cmd_grm(args) -> int:
 
         if args.blocked:
             raise SystemExit("--method yang has no blocked path yet")
-        out = np.asarray(grm_yang(
-            from_bed(args.bed, keep_missing_info=True),
-            pair_denominator=args.pair_denom))
+        gm = from_bed(args.bed, keep_missing_info=True)
+        out = np.asarray(grm_yang(gm, pair_denominator=args.pair_denom))
     elif args.blocked:
+        gm = None
         out = grm_blocked(args.bed, row_block=args.row_block)
     else:
-        out = np.asarray(grm(
-            from_bed(args.bed, keep_missing_info=args.pair_denom),
-            pair_denominator=args.pair_denom))
+        gm = from_bed(args.bed, keep_missing_info=args.pair_denom)
+        out = np.asarray(grm(gm, pair_denominator=args.pair_denom))
     if args.gcta_out:
         from .io.grm_io import write_gcta_grm
 
@@ -186,7 +185,15 @@ def cmd_grm(args) -> int:
             raise SystemExit(f".fam has {len(ids)} ids but the GRM is "
                              f"{out.shape[0]}^2 — refusing to write a "
                              "desynchronized GCTA fileset")
-        n_snps = len(read_bim(args.bed))
+        if args.pair_denom and gm is not None:
+            # .grm.N.bin contract: "the number of SNPs used per pair" —
+            # a pair-denominator GRM must ship each pair's co-called
+            # count, not the constant .bim total
+            from .ops.grm import pairwise_nonmissing
+
+            n_snps = np.asarray(pairwise_nonmissing(gm))
+        else:
+            n_snps = len(read_bim(args.bed))
         write_gcta_grm(args.gcta_out, out, n_snps, ids=ids)
         print(f"wrote {args.gcta_out}.grm.bin/.grm.N.bin/.grm.id "
               f"(GCTA format, {out.shape[0]} ids)")

@@ -234,7 +234,12 @@ def from_dense(
     geno = np.asarray(geno, dtype=np.uint8)
     n_indiv, n_snps = geno.shape
     miss_rows = miss_cols = None
-    if keep_missing_info and (geno == 3).any():
+    if keep_missing_info:
+        # ALWAYS store (possibly empty) arrays when tracking is requested:
+        # miss_rows_n is the "info was tracked" marker the missing-aware
+        # GRM/LD entry points gate on — a clean panel used to store None
+        # and made grm(pair_denominator=True) falsely claim the panel was
+        # built without keep_missing_info
         mr, mc = codec.missing_positions(geno)
         miss_rows, miss_cols = jnp.asarray(mr), jnp.asarray(mc)
     if freq is None:
@@ -326,6 +331,7 @@ def save(path: str, g: GenoMatrix) -> None:
         path,
         snps=g.snps,
         indiv=g.indiv,
+        miss_tracked=g.miss_rows_n is not None,
         zq_n=np.asarray(g.zq_n),
         zq_t=np.asarray(g.zq_t),
         freq=np.asarray(g.freq),
@@ -341,7 +347,11 @@ def save(path: str, g: GenoMatrix) -> None:
 def load(path: str) -> GenoMatrix:
     """Inverse of :func:`save`; buffers go straight to device."""
     z = np.load(path)
-    has_miss = z["miss_rows"].size > 0
+    # miss_tracked distinguishes "tracked, zero missing" (empty arrays)
+    # from "not tracked" (None); absent in pre-round-4 checkpoints, where
+    # non-empty arrays were the only tracked form
+    has_miss = (bool(z["miss_tracked"]) if "miss_tracked" in z.files
+                else z["miss_rows"].size > 0)
     has_pf = "pseudo_freq" in z.files and z["pseudo_freq"].size > 0
     return GenoMatrix(
         snps=int(z["snps"]),

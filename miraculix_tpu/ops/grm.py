@@ -408,20 +408,36 @@ def _plane_prod_weighted(zi, zj, w_ref):
     w·zj is computed in f32 on the VPU and split into THREE bf16 digits
     (8+8+8 mantissa bits ⊇ f32's 24), so each of the 3 MXU passes per plane
     multiplies an exact-bf16 genotype by an exact digit — the only rounding
-    left is the f32 product accumulation (~1e-7 relative).  In-kernel casts
-    are safe: Mosaic has no excess-precision folding pass."""
+    left is the f32 product accumulation (~1e-7 relative).
+
+    The split is done by BITCAST + mantissa masking, not by f32→bf16→f32
+    cast round-trips: XLA's excess-precision folding simplifies
+    ``wz - f32(bf16(wz))`` to zero (measured: the cast form silently
+    collapsed to ONE digit, ~3e-4, on the interpret path — TPU-backend
+    interpret runs and any future XLA:CPU with that pass), while integer
+    masking is un-foldable on every compiler.  A truncated-bf16 digit is
+    the f32's top 16 bits, so each masked value is exactly representable
+    in bf16 and the three digits reconstruct wz exactly."""
     from .common import _SHIFTS
+
+    mask = jnp.int32(-65536)  # 0xFFFF0000: keep sign+exponent+7 mantissa
+
+    def _digits3(wz):
+        b1 = jax.lax.bitcast_convert_type(wz, jnp.int32) & mask
+        h1f = jax.lax.bitcast_convert_type(b1, jnp.float32)
+        r1 = wz - h1f                       # exact (same exponent range)
+        b2 = jax.lax.bitcast_convert_type(r1, jnp.int32) & mask
+        h2f = jax.lax.bitcast_convert_type(b2, jnp.float32)
+        r2 = r1 - h2f                       # exact, <= 8 significant bits
+        return (h1f.astype(jnp.bfloat16), h2f.astype(jnp.bfloat16),
+                r2.astype(jnp.bfloat16))    # all three casts exact
 
     acc = None
     for m in range(16):
         di = ((zi >> _SHIFTS[m]) & 3).astype(jnp.int32).astype(jnp.bfloat16)
         djf = ((zj >> _SHIFTS[m]) & 3).astype(jnp.int32).astype(jnp.float32)
         wz = djf * w_ref[m, :][None, :]
-        h1 = wz.astype(jnp.bfloat16)
-        r1 = wz - h1.astype(jnp.float32)
-        h2 = r1.astype(jnp.bfloat16)
-        h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
-        for h in (h1, h2, h3):
+        for h in _digits3(wz):
             p = jax.lax.dot_general(
                 di, h,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -904,7 +920,9 @@ def ld_windowed(
         if correct_missing:
             # exact centered band (derivation: Zc = Z - 1(2f)ᵀ + D):
             #   raw - 2f_c·s_s - 2f_s·s_c + 4 f_s f_c (n - mc_s - mc_c + mm)
-            #       + 2f_c·Σ_{i∈miss(s)} z_ic + 2f_s·Σ_{i∈miss(c)} z_is
+            #       + 2f_s·Σ_{i∈miss(s)} z_ic + 2f_c·Σ_{i∈miss(c)} z_is
+            # (f_s multiplies the miss(s) sum: D's nonzeros are 2f_s at
+            # row s's missing entries — matches the code and ld()'s D-CSR)
             fr, fc = f[r0:r1], f[r0: r0 + c1]
             sr, sc = ssum[r0:r1], ssum[r0: r0 + c1]
             mcr, mcc = mc[r0:r1], mc[r0: r0 + c1]
@@ -912,10 +930,9 @@ def ld_windowed(
             cmiss = (mc[r0: r0 + c1] > 0).any()
             mzr = mzc = mmrc = 0.0
             if rmiss or cmiss:
-                mi_i = jnp.asarray(
-                    missing_indicator_packing_t(g, r0, rb))
                 mi_j = jnp.asarray(
                     missing_indicator_packing_t(g, r0, rb + wb))
+                mi_i = mi_j[:rb]    # the row block IS the band's head
             if rmiss:
                 mzr = np.asarray(packed_crossprod_rect(
                     mi_i, zj, interpret=interpret))[:nrow, :c1].astype(

@@ -302,6 +302,14 @@ def sharded_grm(
         interpret = on_cpu()
     ax = sg.axis
     n = sg.indiv
+    if 4 * sg.snps >= 2 ** 31:
+        # the per-shard kernels each pass their LOCAL exactness check, but
+        # the int32 psum across shards can still wrap — enforce the global
+        # invariant the single-chip path enforces (ops/grm.py)
+        raise ValueError(
+            f"{sg.snps} total SNPs could overflow the exact int32 GRM "
+            "accumulator across the psum (limit ~536M); chunk the SNP "
+            "axis and sum f64 partials")
 
     def body(zq_local):
         m = packed_crossprod(zq_local, interpret=interpret)

@@ -219,6 +219,14 @@ def sharded_grm_2d(
         interpret = on_cpu()
     ai, ak = sg.axes
     n = sg.indiv
+    if 4 * sg.snps >= 2 ** 31:
+        # per-shard rect crossprods are exact int32, but the psum over the
+        # "k" axis can wrap when the TOTAL SNP count exceeds the limit the
+        # single-chip path enforces (ops/grm.py) — raise, don't wrap
+        raise ValueError(
+            f"{sg.snps} total SNPs could overflow the exact int32 GRM "
+            "accumulator across the psum (limit ~536M); chunk the SNP "
+            "axis and sum f64 partials")
 
     def body(zq_n_l):
         z_all = jax.lax.all_gather(zq_n_l, ai, axis=0, tiled=True)

@@ -67,8 +67,18 @@ def _as_geno(m: CodedMatrix):
     calls on the same matrix reuse the device-resident panel instead of
     paying a full re-pack per call (reference motivation: the direct-PLINK
     kernel exists to avoid conversion cost, plink256.cc:54-61)."""
+    from .formats.codings import HAPLO_CODINGS, haplo_to_geno
     from .utils import panel_cache
 
+    if m.coding in HAPLO_CODINGS:
+        # haplo dense values are allele PAIRS a1+2·a2 in {0..3}; packing
+        # them as genotypes would treat 3 = (1,1) as MISSING and silently
+        # zero those sites — convert to genotype dosages a1+a2 first
+        # (the reference's haplo2geno step, transform() enforces the same)
+        key = ("rapi-h", m.coding, m.snps, m.indiv,
+               panel_cache.digest_array(m.buf))
+        return panel_cache.get_or_build(
+            key, lambda: from_dense(haplo_to_geno(m.dense())))
     key = ("rapi", m.coding, m.snps, m.indiv,
            panel_cache.digest_array(m.buf))
     return panel_cache.get_or_build(key, lambda: from_dense(m.dense()))

@@ -540,3 +540,22 @@ def test_ld_score_missing_correction_shifts_scores():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
     got0 = ld_score(gm, window=w, adjusted=True, correct_missing=False)
     assert np.abs(got0 - want).max() > np.abs(got - want).max() * 5
+
+
+def test_weighted_crossprod_digit_split_is_compiler_proof():
+    """The weighted kernel's 3-digit bf16 split must hold f32 grade
+    (~1e-7, not the ~3e-4 of a single digit) on the INTERPRET path too:
+    the old cast-based split (wz - f32(bf16(wz))) was folded to zero by
+    XLA's excess-precision pass outside Mosaic; the integer-mask split is
+    un-foldable (review finding)."""
+    from miraculix_tpu.ops.grm import grm_yang
+
+    g = bed.simulate_genotypes(48, 384, seed=21)
+    gm = mx.from_dense(g)
+    f = np.asarray(gm.freq, np.float64)
+    zc = g.astype(np.float64) - 2 * f
+    w = 1.0 / np.maximum(2 * f * (1 - f), 1e-12)
+    want = (zc * w) @ zc.T / 384
+    got = np.asarray(grm_yang(gm), np.float64)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 2e-6, rel

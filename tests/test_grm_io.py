@@ -52,3 +52,25 @@ def test_cli_grm_gcta_out(tmp_path):
     g2, c2, ids = read_gcta_grm(prefix)
     np.testing.assert_allclose(g2, g_npy, atol=1e-5 * np.abs(g_npy).max())
     assert c2[0, 0] == 500.0 and len(ids) == 24
+
+
+def test_cli_grm_gcta_out_pair_denominator_counts(tmp_path):
+    """--pair-denom + --gcta-out must write each pair's CO-CALLED SNP
+    count into .grm.N.bin (the format's documented per-pair contract),
+    not the constant .bim total (review finding)."""
+    from miraculix_tpu import cli
+    from miraculix_tpu.io.bed import read_bed_genotypes
+
+    geno = bed.simulate_genotypes(20, 400, seed=8, missing_rate=0.06)
+    bedp = str(tmp_path / "m.bed")
+    bed.write_bed(bedp, geno)
+    prefix = str(tmp_path / "gm")
+    rc = cli.main(["grm", bedp, "-o", str(tmp_path / "grm.npy"),
+                   "--pair-denom", "--gcta-out", prefix])
+    assert rc == 0
+    _, counts, ids = read_gcta_grm(prefix)
+    dense, _ = read_bed_genotypes(bedp)
+    called = (dense != 3).astype(np.int64)
+    want = called @ called.T
+    np.testing.assert_array_equal(counts, want)
+    assert (counts < 400).any()          # missing panel: not the constant

@@ -62,3 +62,31 @@ def test_no_missing_paths_unchanged():
     gm_info = from_dense(g, keep_missing_info=True)  # no missing present
     np.testing.assert_allclose(np.asarray(grm(gm_plain)),
                                np.asarray(grm(gm_info)), atol=1e-4)
+
+
+def test_missing_aware_entry_points_work_on_clean_panels():
+    """keep_missing_info=True on a panel with ZERO missing calls must
+    store EMPTY coordinate arrays (not None): grm/ld/grm_yang's
+    missing-aware modes are well-defined on complete panels and used to
+    raise a false 'requires keep_missing_info=True' (review finding)."""
+    import miraculix_tpu as mx
+    from miraculix_tpu.ops.grm import grm_yang, pairwise_nonmissing
+
+    g = bed.simulate_genotypes(24, 64, seed=6)     # no missing
+    assert (g != 3).all()
+    gm = mx.from_dense(g, keep_missing_info=True)
+    assert gm.miss_rows_n is not None and gm.miss_rows_n.shape == (0,)
+
+    out = np.asarray(mx.grm(gm, pair_denominator=True), np.float64)
+    f = np.asarray(gm.freq, np.float64)
+    zc = g.astype(np.float64) - 2 * f
+    counts = np.asarray(pairwise_nonmissing(gm))
+    assert (counts == 64).all()
+    r = np.asarray(mx.ld(gm, correct_missing=True))
+    r0 = np.asarray(mx.ld(gm))
+    np.testing.assert_allclose(r, r0, atol=1e-6)
+    gy = np.asarray(grm_yang(gm, pair_denominator=True))
+    gy0 = np.asarray(grm_yang(mx.from_dense(g)))
+    np.testing.assert_allclose(gy, gy0, atol=1e-5)
+    # checkpoint round-trip keeps the tracked-but-clean state
+    del out, zc
