@@ -421,7 +421,7 @@ def bench_ld(panel: str, iters: int = 4) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from .geno import from_dense
+    from .geno import GenoMatrix, from_dense
     from .io import bed
     from .ops.grm import ld
 
@@ -437,11 +437,17 @@ def bench_ld(panel: str, iters: int = 4) -> dict:
     def mk(nit):
         @jax.jit
         def many(gmx):
+            # the carry must feed the OP'S INPUT (zq-XOR pattern,
+            # CLAUDE.md invariant) — a carry built only from the output
+            # leaves ld() loop-invariant and XLA hoists it out of the scan
             def body(z, _):
-                m = ld(gmx, interpret=False)
-                s = (m[0, 1] * 1e-30).astype(jnp.float32)
-                return z * (1 + s), None
-            zf, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=nit)
+                zt = gmx.zq_t.at[0, 0].set(gmx.zq_t[0, 0] ^ z)
+                g2 = GenoMatrix(gmx.snps, gmx.indiv, gmx.zq_n, zt,
+                                gmx.freq)
+                m = ld(g2, interpret=False)
+                return z ^ (jnp.abs(m[0, 1]) * 1e-30).astype(jnp.uint32), \
+                    None
+            zf, _ = jax.lax.scan(body, jnp.uint32(0), None, length=nit)
             return zf
         return many
 
@@ -620,12 +626,15 @@ def bench_gblup_fullscale(snps: int = 1_048_576, indiv: int = 100_096,
         return x ^ (x >> jnp.uint32(16))
 
     def gen_chunk(c):
-        base = jnp.uint32(c) * jnp.uint32(kw_chunk * indiv + 1)
-        idx = (base + jax.lax.broadcasted_iota(jnp.uint32,
-                                               (indiv, kw_chunk), 0)
+        # per-chunk SALT folded through the hash, not a uint32 base
+        # offset: c*(kw_chunk*indiv+1) wrapped for c >= 11 at the default
+        # sizes, silently replaying earlier chunks' hash streams
+        salt = hash_u32(jnp.uint32(c) * jnp.uint32(0x9E3779B9)
+                        + jnp.uint32(1))
+        idx = (jax.lax.broadcasted_iota(jnp.uint32, (indiv, kw_chunk), 0)
                * jnp.uint32(kw_chunk)
                + jax.lax.broadcasted_iota(jnp.uint32, (indiv, kw_chunk), 1))
-        r = hash_u32(idx)
+        r = hash_u32(idx ^ salt)
         a = r & jnp.uint32(0x55555555)
         b = (r >> jnp.uint32(1)) & jnp.uint32(0x55555555)
         return (((b & ~a) << jnp.uint32(1)) | (a & ~b)).astype(jnp.int32)

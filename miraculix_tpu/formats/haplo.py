@@ -28,6 +28,11 @@ def rhaplomatrix(
     Returns a CodedMatrix in a haplotype coding; collapse with
     transform(..., haplo_to_geno=True) for genotypes.
     """
+    if coding not in C.HAPLO_CODINGS:
+        # a GENO coding would encode the allele-pair value 3 = (1,1) as
+        # the missing sentinel — silent corruption, not a layout choice
+        raise ValueError(f"rhaplomatrix needs a haplotype coding, got "
+                         f"{coding} (see codings.HAPLO_CODINGS)")
     freq = np.asarray(freq, dtype=np.float64)
     f2 = freq if freq2 is None else np.asarray(freq2, dtype=np.float64)
     snps = len(freq)

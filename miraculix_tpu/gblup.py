@@ -358,18 +358,31 @@ def run_gblup(bed_path: str, h2: float = 0.5, pcs: int = 10,
         pheno_col = np.array([ln.split()[5] for ln in fh if ln.strip()],
                              dtype=object)
     bv_true = None
-    try:
-        y = pheno_col.astype(np.float64)
-        if np.all(y == -9):
-            raise ValueError
-        if np.any(y == -9):
-            # PLINK missing-phenotype code among real values: fitting them
-            # as trait values would silently corrupt the solve
+    # parse per value so ONE bad token cannot flip the whole run to
+    # simulated phenotypes (a single 'NA' used to discard every real
+    # record with only a one-line notice), and so string 'nan' cannot
+    # slip past the missing-value guard as a NaN trait value
+    y = np.full(len(pheno_col), np.nan)
+    for k, v in enumerate(pheno_col):
+        sv = str(v)
+        if sv.upper() in ("NA", "NAN", ".", "-9"):
+            continue                       # missing codes -> NaN
+        try:
+            y[k] = float(sv)
+        except ValueError:
             raise SystemExit(
-                f"{int((y == -9).sum())} individuals have missing phenotype "
-                "(-9) in the .fam; subset the panel to phenotyped "
-                "individuals before running GBLUP")
-    except ValueError:
+                f".fam line {k + 1}: unparseable phenotype {sv!r} "
+                "(numeric, or NA/./-9 for missing)")
+    y[y == -9.0] = np.nan                  # "-9.0" parses numerically
+    n_miss = int(np.isnan(y).sum())
+    if 0 < n_miss < len(y):
+        # missing among real values: fitting placeholders would silently
+        # corrupt the solve
+        raise SystemExit(
+            f"{n_miss} individuals have missing phenotype (-9/NA) in the "
+            ".fam; subset the panel to phenotyped individuals before "
+            "running GBLUP")
+    if n_miss == len(y):                   # no phenotypes at all: simulate
         if stream_chunk > 0:
             # out-of-core panel: draw QTLs from one SNP window only — the
             # dense fallback below would materialize the full panel
@@ -712,25 +725,13 @@ def estimate_h2_he(
     from the data.  Returns ``(h2_hat, details dict)``; the estimate is
     clipped to [0, 1].
     """
-    import jax.numpy as jnp
-
-    from .streamed import StreamedGeno
-
     n = g.indiv
     y = np.asarray(y, np.float64).reshape(n)
     yt = (y - y.mean()) / max(y.std(), 1e-12)
     sigma2 = float(g.sigma2)
-    streamed = isinstance(g, StreamedGeno)
 
     diag = _grm_diag_of(g) / sigma2
-    gmv_raw = _grm_matvec_of(g)
-
-    def mv(v):
-        if streamed:  # host matvec: don't round-trip through a jax array
-            return np.asarray(g.grm_matvec(v.astype(np.float32)),
-                              np.float64) / sigma2
-        return np.asarray(gmv_raw(jnp.asarray(v, jnp.float32)),
-                          np.float64) / sigma2
+    mv = _scaled_matvec_of(g)   # container dispatch lives in ONE place
 
     gy = mv(yt[:, None])[:, 0]
     num = float(yt @ gy - (diag * yt * yt).sum())

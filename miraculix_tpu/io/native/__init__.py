@@ -24,14 +24,24 @@ _tried = False
 
 
 def _build() -> bool:
+    # compile to a process-unique temp path and os.replace (atomic) into
+    # place: two PROCESSES racing the lazy build (e.g. the mp_check
+    # workers) otherwise interleave g++ writes to the same .so and the
+    # loser dlopens a truncated ELF, silently pinning the numpy fallback
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        "-std=c++17", _SRC, "-o", _SO,
+        "-std=c++17", _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

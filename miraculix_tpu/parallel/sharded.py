@@ -426,23 +426,24 @@ def sharded_cg_solve(
     (``precondition=True`` adds a one-time sharded exact-diagonal pass and
     an elementwise multiply per iteration; see solve.cg)."""
     mesh = mesh or _mesh_of(sg)  # resolve outside jit (tracers lack .sharding)
-    return _cg_jit(sg, b, lam, center, tol, maxiter, mesh, on_cpu(),
-                   precondition)
+    return _cg_jit(sg, b, jnp.float32(lam), center, tol, maxiter, mesh,
+                   on_cpu(), precondition)
 
 
-@functools.partial(jax.jit, static_argnames=("lam", "center", "tol",
+@functools.partial(jax.jit, static_argnames=("center", "tol",
                                              "maxiter", "mesh", "interpret",
                                              "precondition"))
 def _cg_jit(sg, b, lam, center, tol, maxiter, mesh, interpret,
             precondition=False) -> CGResult:
+    # lam is TRACED: REML sweeps a fresh lambda every AI iteration, and a
+    # static lam recompiled the whole distributed CG per value (the
+    # single-chip grm_cg_solve traces it for exactly this reason)
     from ..solve.cg import cg
 
     def op(v):
         gv = sharded_grm_matvec(sg, v, center=center, mesh=mesh,
                                 interpret=interpret)
-        if lam:
-            gv = gv + lam * v
-        return gv
+        return gv + lam * v
 
     minv = None
     if precondition:

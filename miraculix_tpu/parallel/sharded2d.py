@@ -324,17 +324,18 @@ def sharded_cg_solve_2d(
     mesh = mesh or _mesh_of(sg)
     squeeze = b.ndim == 1
     bp = pad_indiv_vec(sg, b if not squeeze else b[:, None], mesh)
-    res = _cg2d_jit(sg, bp, lam, center, tol, maxiter, mesh, on_cpu(),
-                    precondition)
+    res = _cg2d_jit(sg, bp, jnp.float32(lam), center, tol, maxiter, mesh,
+                    on_cpu(), precondition)
     x = res.x[:, 0] if squeeze else res.x
     return CGResult(x, res.iterations, res.residual_norm)
 
 
-@functools.partial(jax.jit, static_argnames=("lam", "center", "tol",
+@functools.partial(jax.jit, static_argnames=("center", "tol",
                                              "maxiter", "mesh", "interpret",
                                              "precondition"))
 def _cg2d_jit(sg, bp, lam, center, tol, maxiter, mesh, interpret,
               precondition=False) -> CGResult:
+    # lam is TRACED (see _cg_jit: REML lambda sweeps must not recompile)
     def op(v):
         zv = sharded_dgemm_2d(sg, v, trans="t", center=center, mesh=mesh,
                               interpret=interpret)
@@ -347,9 +348,7 @@ def _cg2d_jit(sg, bp, lam, center, tol, maxiter, mesh, interpret,
                               interpret=interpret)
         rowmask = (jnp.arange(v.shape[0]) < sg.indiv).astype(v.dtype)
         gv = gv * rowmask[:, None]
-        if lam:
-            gv = gv + lam * v * rowmask[:, None]
-        return gv
+        return gv + lam * v * rowmask[:, None]
 
     minv = None
     if precondition:

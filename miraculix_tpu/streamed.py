@@ -229,8 +229,8 @@ class StreamedGeno:
             return r if minv is None else minv * r
 
         x = np.zeros_like(y)
-        r = y - op(x)
-        z = precond(r)
+        r = y.copy()     # x = 0 exactly; op(0) would stream the whole
+        z = precond(r)   # out-of-core panel to multiply a zero vector
         p = z.copy()
         rs = (r * r).sum(axis=0)
         rz = (r * z).sum(axis=0)
