@@ -426,8 +426,13 @@ def packed_matmul(
     ), zq, b2)
 
 
-TALL_TILE_S = 1024   # swept on v5e: best across K=65536..262144 (45 Tops/s
-TALL_TILE_KW = 256   # at K=262144, ~1.5x over 512x128 at large K)
+TALL_TILE_S = 4096   # round-4 re-sweep after the per-plane restructure:
+TALL_TILE_KW = 256   # 4096 beats the old 1024 default in EVERY regime on
+# alternating interleaved rounds (small K=65K: 178 vs 209-233 us; medium
+# K=262K: 0.71 vs 0.80 ms; K=1M: 1.94 vs 2.05-2.20 ms) — fewer
+# contraction grid steps amortize the per-step pipeline overhead.  The
+# VMEM budget shrink in packed_matmul_tall halves tile_s back for wide-n
+# calls where the larger b-block would blow Mosaic's scoped-VMEM stack.
 
 
 @functools.partial(
@@ -459,6 +464,20 @@ def packed_matmul_tall(
         raise ValueError(f"mode must be split/bf16/f32, got {mode!r}")
     tile_s = pick_tile(spad, tile_s, 16)
     tile_kw = pick_tile(kwi, tile_kw, 128)
+    # scoped-VMEM budget (12 MB of the 16 MB stack, leaving Mosaic's
+    # ~1.6x staging margin): the 4096 default tile_s is the fast choice
+    # for the narrow-RHS tall regime; wide-n calls halve it back
+    npad_b = max(16, ((2 * n if mode == "split" else n) + 15) // 16 * 16)
+
+    def _vmem_est(ts, tkw):
+        return (npad_b * ts * 4          # b block (f32 rows in)
+                + ts * tkw * 4           # packed zq tile
+                + 2 * ts * tkw * 2       # ~2 decoded planes live (bf16)
+                + npad_b * 16 * tkw * 4)  # output accumulator block
+
+    while (_vmem_est(tile_s, tile_kw) > 12 * 2**20
+           and tile_s // 2 >= 512 and spad % (tile_s // 2) == 0):
+        tile_s //= 2
     ni = kwi // tile_kw
 
     if mode == "split":
