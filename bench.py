@@ -19,6 +19,13 @@ import numpy as np
 
 BASELINE_GENO_COL_OPS = 150_000 * 150_000 * 32 / 5.1  # = 1.412e11
 
+# Physical ceiling for THIS metric: the centered 'n' path is a 2-pass bf16
+# hi/lo split, i.e. 4 MXU flops per geno-col-op, so at v5e's ~197 TFLOP/s
+# bf16 peak the metric cannot exceed ~49.3 T.  A reading above this is
+# measurement error by definition (VERDICT r4 Weak #1) and is flagged.
+PEAK_BF16_FLOPS = 197e12
+ROOFLINE_OPS = PEAK_BF16_FLOPS / 4.0
+
 # Panel sized to be decode/bandwidth-bound but quick to build/transfer:
 # 4096 indiv x 65536 snps packed = 67 MB, ncol=32 (the baseline's repetV).
 INDIV, SNPS, NCOL = 4096, 65536, 32
@@ -89,10 +96,12 @@ def main() -> None:
             return jnp.float32(bfin[0, 0])
         return functools.partial(many, zq_t, b, fvec)
 
-    # 64 iterations so the differenced signal dominates tunnel jitter, and
+    # 256 iterations so the differenced signal (~50-70 ms) dominates the
+    # ~28 ms tunnel roundtrip (at the old 64 the signal RIVALLED one
+    # roundtrip and the headline read above the physical roofline), and
     # INTERLEAVED base/full pairs so multi-second device-speed drift (shared
     # tunnel) cannot land between the two measurements of one difference.
-    n_iters = 64
+    n_iters = 256
     f_base, f_full = make(1), make(n_iters + 1)
     float(f_base())  # compile both before any timing
     float(f_full())
@@ -102,23 +111,37 @@ def main() -> None:
         float(fn())  # host transfer = real sync over the tunnel
         return time.time() - t0
 
-    # median of 7 pairwise differences: min is optimistically biased when
-    # the differenced signal (~13 ms at 64 iters) rivals one tunnel
-    # roundtrip (~28 ms) and has reported >roofline throughput
+    # median of 9 pairwise differences: min is optimistically biased when
+    # per-call noise rivals the differenced signal and has reported
+    # >roofline throughput.  The QUARTILE SPREAD of the pairwise estimates
+    # is published alongside the median (VERDICT r4 Weak #1: perf claims
+    # need error bars).
     import statistics
-    per = statistics.median(
-        (once(f_full) - once(f_base)) / n_iters for _ in range(7))
+    diffs = sorted((once(f_full) - once(f_base)) / n_iters
+                   for _ in range(9))
+    per = statistics.median(diffs)
     if per <= 0:
         per = min(once(f_full) for _ in range(3)) / (n_iters + 1)
+        diffs = [per]
 
     ops = INDIV * SNPS * NCOL / per
-    print(json.dumps({
+    q1, q3 = diffs[len(diffs) // 4], diffs[(3 * len(diffs)) // 4]
+    spread_pct = round(100.0 * (q3 - q1) / per, 1) if per > 0 else None
+    result = {
         "metric": "dgemm_compressed geno-col-ops/s (centered 'n', "
                   f"{SNPS}x{INDIV} ncol={NCOL}, 1 chip)",
         "value": round(ops / 1e12, 3),
         "unit": "Tera-ops/s",
         "vs_baseline": round(ops / BASELINE_GENO_COL_OPS, 2),
-    }))
+        "spread": spread_pct,          # interquartile range, % of median
+        "n_pairs": len(diffs),
+        "roofline_frac": round(ops / ROOFLINE_OPS, 3),
+    }
+    if ops > ROOFLINE_OPS:
+        # physically impossible reading -> the measurement, not the
+        # kernel, is wrong; flag instead of publishing silently
+        result["roofline_warning"] = True
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

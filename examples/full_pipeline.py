@@ -18,7 +18,10 @@ from miraculix_tpu.io import bed
 from miraculix_tpu.io.grm_io import write_gcta_grm
 
 work = tempfile.mkdtemp(prefix="mx_pipeline_")
-N, N_NEW, SNPS = 500, 120, 20_000
+# env knobs so the test suite can smoke-run this at tiny shapes
+N = int(os.environ.get("MX_EX_N", 500))
+N_NEW = int(os.environ.get("MX_EX_NEW", 120))
+SNPS = int(os.environ.get("MX_EX_SNPS", 20_000))
 
 # --- a deliberately messy panel: missing calls + rare variants ---------
 g_all = bed.simulate_genotypes(N + N_NEW, SNPS, seed=1, missing_rate=0.02,

@@ -17,7 +17,11 @@ from miraculix_tpu import pedigree as ped
 from miraculix_tpu import ssgblup as ss
 from miraculix_tpu.io import bed
 
-N_ANIM, N_GENO, N_SNPS, H2 = 2000, 600, 20_000, 0.4
+# env knobs so the test suite can smoke-run this at tiny shapes
+N_ANIM = int(os.environ.get("MX_EX_ANIM", 2000))
+N_GENO = int(os.environ.get("MX_EX_GENO", 600))
+N_SNPS = int(os.environ.get("MX_EX_SNPS", 20_000))
+H2 = 0.4
 
 rng = np.random.default_rng(1)
 print(f"pedigree: {N_ANIM} animals, {N_GENO} genotyped, {N_SNPS} SNPs")

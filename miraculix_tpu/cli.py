@@ -702,7 +702,8 @@ def cmd_ssgblup(args) -> int:
                        out=args.out, h2=args.h2, blend=args.blend,
                        tau=args.tau, omega=args.omega, tol=args.tol,
                        no_inbreeding=args.no_inbreeding,
-                       estimate_h2=args.estimate_h2)
+                       estimate_h2=args.estimate_h2,
+                       stream_chunk=args.stream_chunk)
 
 
 def main(argv=None) -> int:
@@ -891,6 +892,9 @@ def main(argv=None) -> int:
     ss.add_argument("--estimate-h2", action="store_true",
                     help="estimate the variance ratio by single-step "
                          "AI-REML before solving (replaces --h2)")
+    ss.add_argument("--stream-chunk", type=int, default=0,
+                    help="ingest the panel out-of-core in SNP chunks of "
+                         "this size (panels beyond one chip's HBM)")
 
     sc = sub.add_parser("score", help="score a panel with exported marker "
                         "effects (plink --score role; centering uses the "

@@ -96,6 +96,19 @@ def call32(pallas_callable, *args):
         return pallas_callable(*args)
 
 
+def packed_indicator2(zq):
+    """Packed {0,1} indicator of genotype == 2 from a planar16 packing,
+    with pure bitwise ops: a 2-bit field holds 2 as binary 10, so
+    ind = (b1 AND NOT b0) placed at the field's low bit.  Elementwise per
+    genotype field, so it commutes with transposition: the indicator of a
+    transposed packing IS the transposed packing of the indicator.  Powers
+    z² = z + 2·1(z=2) tricks (logistic GWAS weights, weighted diagonals)."""
+    import jax.numpy as jnp
+
+    m55 = jnp.uint32(0x55555555)
+    return ((zq >> 1) & ~zq) & m55
+
+
 def packed_row_sq_stats(zq):
     """Per-row Σ z² over a planar16 packing, EXACTLY, as f32 [rows]:
     Σ z² = Σ z + 2·#{z = 2} for z ∈ {0,1,2} — both terms integer-exact

@@ -346,9 +346,16 @@ def sharded_grm_matvec(
     center: bool = True,
     mesh: Optional[Mesh] = None,
     interpret: Optional[bool] = None,
+    snp_weights: Optional[jax.Array] = None,
 ) -> jax.Array:
     """G·v in ONE shard_map: 't' pass (row-parallel) chains directly into the
-    'n' pass (one psum) — the sharded GBLUP operator."""
+    'n' pass (one psum) — the sharded GBLUP operator.
+
+    ``snp_weights`` (optional, [D*spd] sharded like ``sg.freq``, zero on
+    padding): per-SNP weights w applied BETWEEN the passes, computing
+    Σ_s w_s (z_s − 2f_s)(z_s − 2f_s)ᵀ v — with a 0/1 off-chromosome mask
+    this is the exact LOCO operator with NO repacking (the masked rows of
+    the 't' output vanish from both the product and its centering term)."""
     mesh = mesh or _mesh_of(sg)
     if interpret is None:
         interpret = on_cpu()
@@ -356,22 +363,127 @@ def sharded_grm_matvec(
     if v.ndim == 1:
         v = v[:, None]
 
-    def body(zq_t_local, zq_n_local, f_local, v_rep):
+    def body(zq_t_local, zq_n_local, f_local, v_rep, w_local):
         zv = _local_mm(zq_t_local, zq_n_local, v_rep, interpret)
         fl = f_local.astype(zv.dtype)
         if center:
             colsum = jnp.sum(v_rep.astype(zv.dtype), axis=0)
             zv = zv - 2.0 * fl[:, None] * colsum[None, :]
+        if w_local is not None:
+            zv = zv * w_local.astype(zv.dtype)[:, None]
         gv = _local_mm(zq_n_local, zq_t_local, zv, interpret)
         if center:
             gv = gv - 2.0 * (fl @ zv)[None, :]
         return jax.lax.psum(gv, ax)
 
+    if snp_weights is None:
+        out = jax.shard_map(
+            functools.partial(body, w_local=None), mesh=mesh,
+            in_specs=(P(ax, None), P(None, ax), P(ax), P(None, None)),
+            out_specs=P(None, None), check_vma=False,
+        )(sg.zq_t, sg.zq_n, sg.freq, v)
+    else:
+        out = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(ax, None), P(None, ax), P(ax), P(None, None),
+                      P(ax)),
+            out_specs=P(None, None), check_vma=False,
+        )(sg.zq_t, sg.zq_n, sg.freq, v, snp_weights)
+    return out[: sg.indiv]
+
+
+def sharded_snp_sq_stats(
+    sg: ShardedGeno,
+    mesh: Optional[Mesh] = None,
+) -> jax.Array:
+    """Per-SNP Σ_i z²_is = diag(ZᵀZ), exactly, across the mesh — rows of
+    ``zq_t`` ARE SNPs, so this is embarrassingly row-parallel (no
+    collective).  Returns [snps] (padding sliced off).  Feeds the GWAS
+    per-SNP denominators d_s = z_sᵀ M z_s on a sharded panel."""
+    from ..ops.common import packed_row_sq_stats
+
+    mesh = mesh or _mesh_of(sg)
+    ax = sg.axis
+
+    out = jax.shard_map(
+        packed_row_sq_stats, mesh=mesh,
+        in_specs=(P(ax, None),), out_specs=P(ax), check_vma=False,
+    )(sg.zq_t)
+    return out[: sg.snps]
+
+
+def sharded_indicator2_dgemm_t(
+    sg: ShardedGeno,
+    b: jax.Array,
+    mesh: Optional[Mesh] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """I₂ᵀ b with I₂ the packed genotype==2 indicator panel
+    (ops.common.packed_indicator2) — row-parallel like the ordinary 't'
+    pass, no collective.  Feeds Σ_i w_i z²_is = (Zᵀw)_s + 2 (I₂ᵀw)_s on a
+    sharded panel (logistic GWAS score denominators)."""
+    from ..ops.common import packed_indicator2
+
+    mesh = mesh or _mesh_of(sg)
+    if interpret is None:
+        interpret = on_cpu()
+    ax = sg.axis
+    if b.ndim == 1:
+        b = b[:, None]
+
+    def body(zq_t_local, zq_n_local, b_rep):
+        return _local_mm(packed_indicator2(zq_t_local),
+                         packed_indicator2(zq_n_local), b_rep, interpret)
+
     out = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(ax, None), P(None, ax), P(ax), P(None, None)),
-        out_specs=P(None, None), check_vma=False,
-    )(sg.zq_t, sg.zq_n, sg.freq, v)
+        in_specs=(P(ax, None), P(None, ax), P(None, None)),
+        out_specs=P(ax, None), check_vma=False,
+    )(sg.zq_t, sg.zq_n, b)
+    return out[: sg.snps]
+
+
+def sharded_weighted_grm_diag(
+    sg: ShardedGeno,
+    snp_weights: jax.Array,
+    mesh: Optional[Mesh] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """diag of the SNP-weighted centered operator, exactly:
+
+        d_i = Σ_s w_s (z_is − 2 f_s)²
+            = Σ w z² − 4 Σ w f z + 4 Σ w f²,
+        Σ_s w_s z²_is = (Z w)_i + 2 (I₂ w)_i
+
+    with I₂ the packed genotype==2 indicator (``packed_indicator2`` is a
+    pure bit transform of the planar16 words, so its product rides the
+    same MXU kernels).  Three skinny 'n'-type local matmuls + one psum —
+    the Jacobi preconditioner of the sharded LOCO solver."""
+    from ..ops.common import packed_indicator2
+
+    mesh = mesh or _mesh_of(sg)
+    if interpret is None:
+        interpret = on_cpu()
+    ax = sg.axis
+
+    def body(zq_n_local, zq_t_local, f_local, w_local):
+        wl = w_local.astype(jnp.float32)
+        fl = f_local.astype(jnp.float32)
+        rhs = jnp.stack([wl, wl * fl], axis=1)              # [spd, 2]
+        rows = zq_n_local.shape[0]
+        zw = _local_mm(zq_n_local, zq_t_local, rhs, interpret)[:rows]
+        iw = _local_mm(packed_indicator2(zq_n_local),
+                       packed_indicator2(zq_t_local), wl[:, None],
+                       interpret)[:rows]
+        const = jnp.sum(wl * fl * fl)
+        d = zw[:, 0] + 2.0 * iw[:, 0] - 4.0 * zw[:, 1] + 4.0 * const
+        return jax.lax.psum(d, ax)
+
+    out = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, ax), P(ax, None), P(ax), P(ax)),
+        out_specs=P(None), check_vma=False,
+    )(sg.zq_n, sg.zq_t, sg.freq, snp_weights)
     return out[: sg.indiv]
 
 
@@ -420,37 +532,77 @@ def sharded_cg_solve(
     maxiter: int = 1000,
     mesh: Optional[Mesh] = None,
     precondition: bool = False,
+    scale: bool = False,
 ) -> CGResult:
     """(G + lam I) x = b across the mesh — the fully on-device distributed
     GBLUP solve (BASELINE.json north star).  One psum per iteration
     (``precondition=True`` adds a one-time sharded exact-diagonal pass and
-    an elementwise multiply per iteration; see solve.cg)."""
+    an elementwise multiply per iteration; see solve.cg).  ``scale=True``
+    divides G by sigma² = 2Σp(1−p) (VanRaden normalization), matching
+    solve.grm_cg_solve's flag."""
     mesh = mesh or _mesh_of(sg)  # resolve outside jit (tracers lack .sharding)
     return _cg_jit(sg, b, jnp.float32(lam), center, tol, maxiter, mesh,
-                   on_cpu(), precondition)
+                   on_cpu(), precondition, scale)
 
 
 @functools.partial(jax.jit, static_argnames=("center", "tol",
                                              "maxiter", "mesh", "interpret",
-                                             "precondition"))
+                                             "precondition", "scale"))
 def _cg_jit(sg, b, lam, center, tol, maxiter, mesh, interpret,
-            precondition=False) -> CGResult:
+            precondition=False, scale=False) -> CGResult:
     # lam is TRACED: REML sweeps a fresh lambda every AI iteration, and a
     # static lam recompiled the whole distributed CG per value (the
     # single-chip grm_cg_solve traces it for exactly this reason)
     from ..solve.cg import cg
 
+    s2 = sg.sigma2 if scale else jnp.float32(1.0)
+
     def op(v):
         gv = sharded_grm_matvec(sg, v, center=center, mesh=mesh,
                                 interpret=interpret)
-        return gv + lam * v
+        return gv / s2 + lam * v
 
     minv = None
     if precondition:
         from ..solve.cg import jacobi_minv
 
         minv = jacobi_minv(sharded_grm_diag(sg, center=center, mesh=mesh,
-                                            interpret=interpret) + lam)
+                                            interpret=interpret) / s2 + lam)
+    return cg(op, b, tol=tol, maxiter=maxiter, minv=minv)
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "maxiter", "mesh",
+                                             "interpret"))
+def sharded_loco_cg_solve(
+    sg: ShardedGeno,
+    snp_weights: jax.Array,
+    b: jax.Array,
+    s2_loco: jax.Array,
+    lam: jax.Array,
+    *,
+    tol: float,
+    maxiter: int,
+    mesh: Mesh,
+    interpret: bool = False,
+) -> CGResult:
+    """Distributed LOCO solve (G_w / s2_loco + lam I) x = b with G_w the
+    off-chromosome-masked operator (``snp_weights`` = 0/1 mask, see
+    sharded_grm_matvec) and the matching weighted-diagonal Jacobi
+    preconditioner.  The mask is a TRACED [D*spd] argument, so every
+    chromosome of a LOCO scan shares ONE compiled executable (the
+    single-chip path compiles per chromosome SHAPE; here the shape never
+    changes)."""
+    from ..solve.cg import cg, jacobi_minv
+
+    def op(v):
+        gv = sharded_grm_matvec(sg, v, center=True, mesh=mesh,
+                                interpret=interpret,
+                                snp_weights=snp_weights)
+        return gv / s2_loco + lam * v
+
+    minv = jacobi_minv(
+        sharded_weighted_grm_diag(sg, snp_weights, mesh=mesh,
+                                  interpret=interpret) / s2_loco + lam)
     return cg(op, b, tol=tol, maxiter=maxiter, minv=minv)
 
 

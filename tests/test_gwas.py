@@ -384,3 +384,78 @@ def test_gwas_mixed_loco_rejects_streamed(tmp_path):
     sg = StreamedGeno.from_bed(p, chunk_snps=64)
     with pytest.raises(TypeError, match="GenoMatrix"):
         gwas.gwas_mixed_loco(sg, np.zeros(40), np.zeros(120, np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-chip) GWAS: VERDICT r4 Next #2 — the scan must run on the
+# distributed container with device-count-independent answers.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sharded_gwas_panel():
+    import jax
+
+    from miraculix_tpu import parallel
+
+    assert len(jax.devices()) >= 8
+    n, s = 150, 600
+    g = bed.simulate_genotypes(n, s, seed=31)
+    rng = np.random.default_rng(11)
+    y = (1.2 * (g[:, 50].astype(np.float64)
+                - g[:, 50].astype(np.float64).mean())
+         + rng.standard_normal(n))
+    gm = mx.from_dense(g)
+    sg8 = parallel.shard_genotypes(g, parallel.make_mesh(8))
+    sg1 = parallel.shard_genotypes(g, parallel.make_mesh(1))
+    return g, gm, sg8, sg1, y
+
+
+def test_gwas_linear_sharded_matches(sharded_gwas_panel, rng):
+    g, gm, sg8, sg1, y = sharded_gwas_panel
+    cov = np.random.default_rng(5).standard_normal((150, 2))
+    r_mem = gwas_linear(gm, y, covariates=cov)
+    for sg in (sg8, sg1):
+        r_sh = gwas_linear(sg, y, covariates=cov)
+        np.testing.assert_allclose(r_sh.beta, r_mem.beta, rtol=1e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(r_sh.t, r_mem.t, rtol=1e-3, atol=1e-4)
+
+
+def test_gwas_mixed_sharded_matches(sharded_gwas_panel):
+    from miraculix_tpu.gwas import gwas_mixed
+
+    g, gm, sg8, _, y = sharded_gwas_panel
+    r_mem = gwas_mixed(gm, y, h2=0.5, n_gamma_snps=40, tol=1e-8, seed=2)
+    r_sh = gwas_mixed(sg8, y, h2=0.5, n_gamma_snps=40, tol=1e-8, seed=2)
+    assert abs(r_sh.gamma - r_mem.gamma) / r_mem.gamma < 1e-3
+    mask = r_mem.chi2 > 1e-3
+    np.testing.assert_allclose(r_sh.chi2[mask], r_mem.chi2[mask],
+                               rtol=5e-3, atol=1e-5)
+    assert np.argmax(r_sh.chi2) == np.argmax(r_mem.chi2)
+
+
+def test_gwas_logistic_sharded_matches(sharded_gwas_panel):
+    from miraculix_tpu.gwas import gwas_logistic
+
+    g, gm, sg8, _, y = sharded_gwas_panel
+    yb = (y > np.median(y)).astype(np.float64)
+    r_mem = gwas_logistic(gm, yb)
+    r_sh = gwas_logistic(sg8, yb)
+    np.testing.assert_allclose(r_sh.t, r_mem.t, rtol=1e-4, atol=1e-6)
+
+
+def test_gwas_mixed_loco_sharded_matches(sharded_gwas_panel):
+    """Sharded LOCO (masked operator, ONE executable for all chromosomes)
+    == the single-chip repacking LOCO."""
+    from miraculix_tpu.gwas import gwas_mixed_loco
+
+    g, gm, sg8, _, y = sharded_gwas_panel
+    chrom = np.repeat([1, 2, 3], 200)
+    r_mem = gwas_mixed_loco(gm, y, chrom, h2=0.5, n_gamma_snps=40,
+                            tol=1e-8, seed=2)
+    r_sh = gwas_mixed_loco(sg8, y, chrom, h2=0.5, n_gamma_snps=40,
+                           tol=1e-8, seed=2)
+    mask = r_mem.chi2 > 1e-3
+    np.testing.assert_allclose(r_sh.chi2[mask], r_mem.chi2[mask],
+                               rtol=5e-3, atol=1e-5)
+    assert np.argmax(r_sh.chi2) == np.argmax(r_mem.chi2) == 50

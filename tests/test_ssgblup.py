@@ -184,6 +184,125 @@ def test_run_ssgblup_cli_path(tmp_path):
     assert all(np.isfinite(float(v[1])) for v in got.values())
 
 
+def _oracle_mme(hinv_d, y, obs_ids, x, h2):
+    n_anim = hinv_d.shape[0]
+    n_obs = len(y)
+    lam = (1 - h2) / h2
+    w = np.zeros((n_obs, n_anim))
+    w[np.arange(n_obs), obs_ids - 1] = 1.0
+    mme = np.vstack([
+        np.column_stack([x.T @ x, x.T @ w]),
+        np.column_stack([w.T @ x, w.T @ w + lam * hinv_d]),
+    ])
+    rhs = np.concatenate([x.T @ y, w.T @ y])
+    return np.linalg.solve(mme, rhs)
+
+
+@pytest.fixture(scope="module")
+def containers(panel, tmp_path_factory):
+    """The SAME panel as StreamedGeno (3 chunks, out-of-core path) and as
+    ShardedGeno on the 8-device virtual mesh (distributed path) — VERDICT
+    r4 Next #1: ssGBLUP must reach both pillars."""
+    import jax
+
+    from miraculix_tpu import parallel
+    from miraculix_tpu.streamed import StreamedGeno
+
+    _, _, _, geno, _, _, _ = panel
+    d = tmp_path_factory.mktemp("ssg")
+    bedp = str(d / "p.bed")
+    bed.write_bed(bedp, geno)
+    sgeno = StreamedGeno.from_bed(bedp, chunk_snps=256)
+    assert sgeno.n_chunks == 3
+    mesh = parallel.make_mesh(8)
+    shgeno = parallel.shard_genotypes(geno, mesh)
+    return sgeno, shgeno
+
+
+@pytest.mark.parametrize("kind", ["streamed", "sharded"])
+def test_hinv_matvec_containers(panel, containers, kind):
+    sire, dam, geno_ids, _, _, _, hinv_d = panel
+    g = containers[0] if kind == "streamed" else containers[1]
+    hinv = ss.SingleStepHInv(sire, dam, g, geno_ids, blend=BLEND,
+                             tau=TAU, omega=OMEGA, inner_tol=1e-7,
+                             inner_maxiter=4000)
+    assert hinv._kind == kind
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((N_ANIM, 3)).astype(np.float32)
+    got = np.asarray(hinv.matvec(v), np.float64)
+    want = hinv_d @ v
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-4
+
+
+@pytest.mark.parametrize("kind", ["streamed", "sharded"])
+def test_ssgblup_containers_match_dense_mme(panel, containers, kind):
+    """Full single-step solve on the streamed / sharded container == the
+    dense-f64 H-matrix MME oracle (5e-3, the GenoMatrix tolerance)."""
+    sire, dam, geno_ids, _, _, _, hinv_d = panel
+    g = containers[0] if kind == "streamed" else containers[1]
+    hinv = ss.SingleStepHInv(sire, dam, g, geno_ids, blend=BLEND,
+                             tau=TAU, omega=OMEGA, inner_tol=1e-7,
+                             inner_maxiter=4000)
+    rng = np.random.default_rng(3)
+    obs_ids = np.sort(rng.choice(N_ANIM, size=90, replace=False)) + 1
+    xmat = np.column_stack([np.ones(90), rng.standard_normal(90)])
+    h2 = 0.4
+    u_true = rng.standard_normal(N_ANIM)
+    y = xmat @ [1.0, 0.5] + u_true[obs_ids - 1] \
+        + 0.7 * rng.standard_normal(90)
+
+    res = ss.ssgblup(y, hinv, obs_ids=obs_ids, x=xmat, h2=h2, tol=1e-7,
+                     maxiter=5000)
+    z = _oracle_mme(hinv_d, y, obs_ids, xmat, h2)
+    assert np.abs(res.beta - z[:2]).max() < 5e-3, (res.beta, z[:2])
+    denom = np.abs(z[2:]).max()
+    assert np.abs(res.u - z[2:]).max() / denom < 5e-3
+
+
+def test_run_ssgblup_stream_chunk(tmp_path):
+    """CLI path with --stream-chunk: the streamed ingest + host outer CG
+    must agree with the in-core run on the same files."""
+    from miraculix_tpu.ssgblup import run_ssgblup
+
+    rng = np.random.default_rng(23)
+    sire, dam = ped.simulate_pedigree(60, n_founders=10, seed=14)
+    labels = [f"s{i+1}" for i in range(60)]
+    pedf = tmp_path / "ped.txt"
+    with open(pedf, "w") as fh:
+        for i in range(60):
+            fh.write(f"{labels[i]} "
+                     f"{labels[sire[i]-1] if sire[i] else '0'} "
+                     f"{labels[dam[i]-1] if dam[i] else '0'}\n")
+    geno = bed.simulate_genotypes(25, 300, seed=5)
+    bedp = str(tmp_path / "g.bed")
+    bed.write_bed(bedp, geno)
+    fam = open(bedp[:-4] + ".fam").read().splitlines()
+    with open(bedp[:-4] + ".fam", "w") as fh:
+        for k, ln in enumerate(fam):
+            parts = ln.split()
+            parts[1] = labels[30 + k]
+            fh.write(" ".join(parts) + "\n")
+    phenf = tmp_path / "y.txt"
+    with open(phenf, "w") as fh:
+        for i in range(40):
+            fh.write(f"{labels[i]} {rng.standard_normal():.5f}\n")
+
+    out_s = str(tmp_path / "ebv_stream.tsv")
+    out_m = str(tmp_path / "ebv_mem.tsv")
+    assert run_ssgblup(bedp, str(pedf), pheno_path=str(phenf), out=out_s,
+                       h2=0.4, tol=1e-6, stream_chunk=128) == 0
+    assert run_ssgblup(bedp, str(pedf), pheno_path=str(phenf), out=out_m,
+                       h2=0.4, tol=1e-6) == 0
+
+    def read(p):
+        return {ln.split("\t")[0]: float(ln.split("\t")[1])
+                for ln in open(p).read().splitlines()[1:]}
+
+    es, em = read(out_s), read(out_m)
+    scale = max(abs(v) for v in em.values())
+    assert max(abs(es[k] - em[k]) for k in em) / scale < 5e-3
+
+
 def _ss_profiled_reml_argmax(hinv_pieces, y, obs_ids, grid):
     """Dense REML oracle for the single-step model: restricted profiled
     log-likelihood of V(h2) = h2*W H W' + (1-h2)*I over a grid (intercept
