@@ -34,7 +34,14 @@ import sys
 def main():
     pid, nproc, port, workdir = (int(sys.argv[1]), int(sys.argv[2]),
                                  sys.argv[3], sys.argv[4])
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # devices per process (default 4; mp_check's 4-process case uses 1)
+    dpp = int(os.environ.get("MX_MP_DPP", "4"))
+    # failure injection: this process index dies mid-drive (rc=3) right
+    # before the first collective, so the SURVIVORS' behavior — fail with
+    # a clear error, not a silent hang — is what the test observes
+    fail_pid = int(os.environ.get("MX_MP_FAIL_PID", "-1"))
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={dpp}")
     os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
@@ -47,8 +54,8 @@ def main():
         coordinator_address=f"localhost:{port}",
         num_processes=nproc, process_id=pid)
     assert got_pid == pid == jax.process_index()
-    assert len(jax.local_devices()) == 4
-    assert len(jax.devices()) == 4 * nproc
+    assert len(jax.local_devices()) == dpp
+    assert len(jax.devices()) == dpp * nproc
 
     import numpy as np
 
@@ -70,10 +77,9 @@ def main():
     bedio.read_bed_slice_payload = instrumented
     try:
         sg = parallel.shard_genotypes_from_bed(bed_path, mesh)
-        d = len(jax.devices())
-        # device at mesh position j owns SNP range [j*spd, (j+1)*spd);
-        # THIS process's addressable devices are positions 4*pid .. 4*pid+3
-        own = {j * sg.spd for j in range(4 * pid, 4 * pid + 4)}
+        # device at mesh position j owns SNP range [j*spd, (j+1)*spd); THIS
+        # process's addressable devices are positions dpp*pid..dpp*(pid+1)
+        own = {j * sg.spd for j in range(dpp * pid, dpp * (pid + 1))}
         got = {s0 for s0, _ in reads}
         assert got, "no reads recorded — instrumentation failed"
         assert got <= own, (
@@ -85,6 +91,14 @@ def main():
         bedio.read_bed_slice_payload = orig_read
     print(f"[{pid}] ingestion reads confined to own ranges: "
           f"{sorted(s0 for s0, _ in reads)}", flush=True)
+
+    if pid == fail_pid:
+        # failure injection: die BEFORE the first collective — every
+        # surviving process is now waiting on a peer that will never
+        # arrive and must surface a timeout error, not hang forever
+        print(f"[{pid}] MP_FAIL_INJECTED — exiting before the first "
+              "collective", flush=True)
+        os._exit(3)
 
     # -- 3. sharded dgemm both orientations vs oracle ----------------------
     b_n = oracle["b_n"]

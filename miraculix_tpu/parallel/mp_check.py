@@ -58,15 +58,27 @@ def write_oracle(workdir: str, indiv: int = 48, snps: int = 700,
 
 
 def run_cluster(num_processes: int = 2, timeout: float = 900.0,
-                indiv: int = 48, snps: int = 700) -> list:
+                indiv: int = 48, snps: int = 700,
+                devices_per_proc: int = 4,
+                fail_process: int = None) -> list:
     """Spawn the N-process drive; raise with full worker logs on any
-    failure.  Returns the per-process stdout (each ends in MP_DRIVE_OK)."""
+    failure.  Returns the per-process stdout (each ends in MP_DRIVE_OK).
+
+    ``devices_per_proc``: virtual CPU devices per process (4-process cases
+    run 1 each).  ``fail_process``: failure-injection index — that worker
+    exits rc=3 before the first collective; run_cluster then asserts every
+    SURVIVOR terminates with a nonzero rc (a clear distributed-runtime
+    error) instead of hanging past ``timeout``, and returns the logs."""
     with tempfile.TemporaryDirectory() as workdir:
         write_oracle(workdir, indiv=indiv, snps=snps)
         port = _free_port()
         env = dict(os.environ)
-        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={devices_per_proc}")
         env["JAX_PLATFORMS"] = "cpu"
+        env["MX_MP_DPP"] = str(devices_per_proc)
+        if fail_process is not None:
+            env["MX_MP_FAIL_PID"] = str(fail_process)
         procs = [
             subprocess.Popen(
                 [sys.executable, "-m", "miraculix_tpu.parallel._mp_worker",
@@ -86,6 +98,23 @@ def run_cluster(num_processes: int = 2, timeout: float = 900.0,
             got = "\n---\n".join(outs)
             raise RuntimeError(
                 f"mp drive timed out after {timeout}s; partial logs:\n{got}")
+
+        if fail_process is not None:
+            logs = "\n".join(
+                f"--- process {i} (rc={procs[i].returncode}) ---\n{outs[i]}"
+                for i in range(num_processes))
+            assert procs[fail_process].returncode == 3, logs
+            assert "MP_FAIL_INJECTED" in outs[fail_process], logs
+            survivors = [i for i in range(num_processes)
+                         if i != fail_process]
+            hung_ok = [i for i in survivors
+                       if procs[i].returncode == 0
+                       or "MP_DRIVE_OK" in outs[i]]
+            assert not hung_ok, (
+                f"survivors {hung_ok} reported success despite a dead "
+                f"peer — the failure was swallowed:\n{logs}")
+            return outs
+
         bad = [i for i, (p, out) in enumerate(zip(procs, outs))
                if p.returncode != 0 or "MP_DRIVE_OK" not in out]
         if bad:
