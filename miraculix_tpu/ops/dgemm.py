@@ -143,7 +143,8 @@ def _pmm_kernel_split_wide_pp(zq_ref, b_ref, out_ref):
         out_ref[...] = out_ref[...] + acc
 
 
-def _pmm_tall_kernel(bt_ref, zq_ref, out_ref, *, mode="split"):
+def _pmm_tall_kernel(bt_ref, zq_ref, out_ref, *, mode="split",
+                     pair_planes=False):
     """out[rows, 16*tile_kw] += Bᵀ-tile @ decode(zq-tile).
 
     The "tall" schedule for skinny RHS (n < 64): the decoded genotype tile
@@ -180,16 +181,27 @@ def _pmm_tall_kernel(bt_ref, zq_ref, out_ref, *, mode="split"):
         blo = (bt32 - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
         bcat = jnp.concatenate([bhi, blo], axis=0)
         words = zq_ref[...]
-        prods = []
-        for m in range(16):
+
+        def dec(m):
             if m < 15:
-                plane = (words & _MASKS[m]).astype(jnp.int32).astype(
+                return (words & _MASKS[m]).astype(jnp.int32).astype(
                     jnp.bfloat16)
-            else:
-                plane = ((words >> _SHIFTS[15]) & 3).astype(jnp.int32).astype(
-                    jnp.bfloat16)
-            prods.append(jnp.dot(bcat, plane,
-                                 preferred_element_type=jnp.float32))
+            return ((words >> _SHIFTS[15]) & 3).astype(jnp.int32).astype(
+                jnp.bfloat16)
+
+        prods = []
+        if pair_planes:
+            # adjacent planes are adjacent output column slices, so a
+            # 2-plane concat doubles each dot's N (fewer MXU invocations)
+            # while landing in exactly the same layout
+            for m in range(0, 16, 2):
+                p2 = jnp.concatenate([dec(m), dec(m + 1)], axis=1)
+                prods.append(jnp.dot(bcat, p2,
+                                     preferred_element_type=jnp.float32))
+        else:
+            for m in range(16):
+                prods.append(jnp.dot(bcat, dec(m),
+                                     preferred_element_type=jnp.float32))
         prod = jnp.concatenate(prods, axis=1)
     else:
         d = decode_planar16_scaled(zq_ref[...], jnp.bfloat16)
@@ -436,7 +448,8 @@ TALL_TILE_KW = 256   # 4096 beats the old 1024 default in EVERY regime on
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_s", "tile_kw", "mode", "interpret")
+    jax.jit, static_argnames=("tile_s", "tile_kw", "mode", "interpret",
+                              "pair_planes")
 )
 def packed_matmul_tall(
     zq_other: jax.Array,
@@ -446,6 +459,7 @@ def packed_matmul_tall(
     tile_kw: int = TALL_TILE_KW,
     mode: str = "split",
     interpret: bool = False,
+    pair_planes: bool = False,
 ) -> jax.Array:
     """decode(zq_other)ᵀ @ B computed TRANSPOSED: Cᵀ = Bᵀ @ decode(zq_other).
 
@@ -514,7 +528,8 @@ def packed_matmul_tall(
         transcendentals=0,
     )
     out = call32(pl.pallas_call(
-        functools.partial(_pmm_tall_kernel, mode=mode),
+        functools.partial(_pmm_tall_kernel, mode=mode,
+                          pair_planes=pair_planes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((in_rows, tile_s), lambda i, k: (0, k)),

@@ -38,11 +38,12 @@ def main():
         zq_t = jnp.asarray(codec.pack_planar16(gt, row_mult=256))
         b = jnp.asarray(rng.standard_normal((snps, NCOL)), jnp.float32)
 
-        def make(iters, tile_s):
+        def make(iters, tile_s, pp):
             @jax.jit
             def many(zq_t, b):
                 def body(bcur, _):
-                    out = packed_matmul_tall(zq_t, bcur, tile_s=tile_s)
+                    out = packed_matmul_tall(zq_t, bcur, tile_s=tile_s,
+                                             pair_planes=pp)
                     return bcur * (1 + out[0, 0] * 1e-30), None
                 bfin, _ = jax.lax.scan(body, b, None, length=iters)
                 return jnp.float32(bfin[0, 0])
@@ -52,18 +53,20 @@ def main():
         for tile_s in (4096, 8192, 16384):
             if zq_t.shape[0] % tile_s:
                 continue
-            f1, fn = make(1, tile_s), make(iters + 1, tile_s)
-            float(f1()), float(fn())
-            diffs = []
-            for _ in range(5):
-                t0 = time.time(); float(fn()); tf = time.time() - t0
-                t0 = time.time(); float(f1()); tb = time.time() - t0
-                diffs.append((tf - tb) / iters)
-            per = statistics.median(diffs)
-            mxu = 4.0 * indiv * snps * NCOL / per / PEAK
-            print(f"{name} tile_s={tile_s}: per={per*1e3:.3f} ms "
-                  f"mxu={mxu:.3f} (spread {min(diffs)*1e3:.3f}-"
-                  f"{max(diffs)*1e3:.3f})", flush=True)
+            for pp in (False, True):
+                f1, fn = make(1, tile_s, pp), make(iters + 1, tile_s, pp)
+                float(f1()), float(fn())
+                diffs = []
+                for _ in range(5):
+                    t0 = time.time(); float(fn()); tf = time.time() - t0
+                    t0 = time.time(); float(f1()); tb = time.time() - t0
+                    diffs.append((tf - tb) / iters)
+                per = statistics.median(diffs)
+                mxu = 4.0 * indiv * snps * NCOL / per / PEAK
+                print(f"{name} tile_s={tile_s} pair={int(pp)}: "
+                      f"per={per*1e3:.3f} ms mxu={mxu:.3f} "
+                      f"(spread {min(diffs)*1e3:.3f}-"
+                      f"{max(diffs)*1e3:.3f})", flush=True)
 
 
 if __name__ == "__main__":
