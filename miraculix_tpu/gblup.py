@@ -71,11 +71,15 @@ def _scaled_matvec_of(g):
     """G_s · W for numpy [n, m] blocks on any container — the sigma2-scaled
     batched matvec the REML machinery is built from.  The streamed path
     stays in host numpy (no jnp round-trip: StreamedGeno.grm_matvec is
-    host-orchestrated already)."""
+    host-orchestrated already) but pins chunks in HBM first: every pass
+    over host-resident chunks re-uploads the WHOLE packed panel, and over
+    the congested tunnel that dwarfed the compute (268 MB/pass at n=16K,
+    ~10 s each, dozens of passes per REML run)."""
     from .streamed import StreamedGeno
 
     sigma2 = float(g.sigma2)
     if isinstance(g, StreamedGeno):
+        g.cache_to_device()       # idempotent; overflow chunks stream
         return lambda w: np.asarray(g.grm_matvec(w.astype(np.float32)),
                                     np.float64) / sigma2
     raw = _grm_matvec_of(g)

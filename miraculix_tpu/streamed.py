@@ -87,6 +87,13 @@ class StreamedGeno:
                     "bytes_in_use", 0)
             except Exception:  # pragma: no cover - backend without stats
                 free = 0
+            if free <= 0:
+                # backends that report no memory stats (the axon TPU
+                # plugin, CPU): assume a v5e-class 16 GB chip and pin up
+                # to 6 GB — a zero budget silently left every pass
+                # re-uploading the whole panel (measured: the r5 16K REML
+                # run spent minutes in 268 MB/pass tunnel transfers)
+                free = 12 << 30
             budget_bytes = free // 2
         spent = cached = 0
         for i, c in enumerate(self.chunks):
