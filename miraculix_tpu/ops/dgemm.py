@@ -143,8 +143,7 @@ def _pmm_kernel_split_wide_pp(zq_ref, b_ref, out_ref):
         out_ref[...] = out_ref[...] + acc
 
 
-def _pmm_tall_kernel(bt_ref, zq_ref, out_ref, *, mode="split",
-                     pair_planes=False):
+def _pmm_tall_kernel(bt_ref, zq_ref, out_ref, *, mode="split"):
     """out[rows, 16*tile_kw] += Bᵀ-tile @ decode(zq-tile).
 
     The "tall" schedule for skinny RHS (n < 64): the decoded genotype tile
@@ -174,35 +173,12 @@ def _pmm_tall_kernel(bt_ref, zq_ref, out_ref, *, mode="split",
         # plane m's matmul (decode was ~35% of the serialized step).  Each
         # plane's product lands in its own output column slice — exactly
         # the plane-major layout the concat produced.
-        from .common import _MASKS, _SHIFTS
-
-        bt32 = bt_ref[...]
-        bhi = bt32.astype(jnp.bfloat16)
-        blo = (bt32 - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
-        bcat = jnp.concatenate([bhi, blo], axis=0)
-        words = zq_ref[...]
-
-        def dec(m):
-            if m < 15:
-                return (words & _MASKS[m]).astype(jnp.int32).astype(
-                    jnp.bfloat16)
-            return ((words >> _SHIFTS[15]) & 3).astype(jnp.int32).astype(
-                jnp.bfloat16)
-
-        prods = []
-        if pair_planes:
-            # adjacent planes are adjacent output column slices, so a
-            # 2-plane concat doubles each dot's N (fewer MXU invocations)
-            # while landing in exactly the same layout
-            for m in range(0, 16, 2):
-                p2 = jnp.concatenate([dec(m), dec(m + 1)], axis=1)
-                prods.append(jnp.dot(bcat, p2,
-                                     preferred_element_type=jnp.float32))
-        else:
-            for m in range(16):
-                prods.append(jnp.dot(bcat, dec(m),
-                                     preferred_element_type=jnp.float32))
-        prod = jnp.concatenate(prods, axis=1)
+        # (pair_planes / split1 wide-dot restructures were A/B'd on v5e in
+        # round 5 and LOST everywhere — 0.60-0.62 vs 0.72 MXU at K=1M,
+        # 0.48-0.56 for the one-decode two-dot form; the per-plane
+        # decode/MXU overlap is what carries this kernel.  See git
+        # history for the variants.)
+        prod = _tall_split_rows(bt_ref[...], zq_ref[...])
     else:
         d = decode_planar16_scaled(zq_ref[...], jnp.bfloat16)
         prod = jnp.dot(bt_ref[...], d, preferred_element_type=jnp.float32)
@@ -214,6 +190,67 @@ def _pmm_tall_kernel(bt_ref, zq_ref, out_ref, *, mode="split",
     @pl.when(k != 0)
     def _acc():
         out_ref[...] = out_ref[...] + prod
+
+
+def _tall_split_rows(bt32, words):
+    """Shared body of the split-mode tall kernels: ``bt32`` [n, tile_s]
+    f32 TRANSPOSED rows, hi/lo split here, per-plane dots.  (A natural-
+    layout dim-0-contraction variant was A/B'd in r5 and ran at ~half the
+    MXU rate — Mosaic cannot stream a K-major LHS; the host-side
+    transpose pass stays.)  Returns [2n, 16*tile_kw] f32."""
+    from .common import _MASKS, _SHIFTS
+
+    bhi = bt32.astype(jnp.bfloat16)
+    blo = (bt32 - bhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bcat = jnp.concatenate([bhi, blo], axis=0)      # [2n, ts]
+    prods = []
+    for m in range(16):
+        if m < 15:
+            plane = (words & _MASKS[m]).astype(jnp.int32).astype(
+                jnp.bfloat16)
+        else:
+            plane = ((words >> _SHIFTS[15]) & 3).astype(jnp.int32).astype(
+                jnp.bfloat16)
+        prods.append(jnp.dot(bcat, plane,
+                             preferred_element_type=jnp.float32))
+    return jnp.concatenate(prods, axis=1)
+
+
+def _pmm_tall_kernel_cv(bt_ref, zq_ref, cv_ref, out_ref, vout_ref):
+    """Split-mode tall kernel + FUSED centering reduction.
+
+    ``vout[j] = Σ_s cv_s B_sj`` accumulates from the same f32 RHS block
+    the matmul already holds in VMEM — the separate rank-1 epilogue's
+    matvec re-read B from HBM (an O(K·n) pass worth ~0.36 ms of the
+    2.28 ms many_snps step, measured r5).  The centering partial is
+    k-accumulated at grid column i == 0 only (it is i-independent)."""
+    from .common import _MASKS, _SHIFTS
+
+    i = pl.program_id(0)
+    k = pl.program_id(1)
+    bt32 = bt_ref[...]                               # [n, ts] rows
+    prod = _tall_split_rows(bt32, zq_ref[...])
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[...] = prod
+
+    @pl.when(k != 0)
+    def _acc():
+        out_ref[...] = out_ref[...] + prod
+
+    # VPU reduction, not a dot: an N=1 MXU matmul at HIGHEST precision
+    # costs whole extra passes (measured +29-48% per step); the
+    # broadcast-multiply + row-sum is noise on the VPU
+    vpart = jnp.sum(bt32 * cv_ref[...], axis=1, keepdims=True)  # [n, 1]
+
+    @pl.when(jnp.logical_and(i == 0, k == 0))
+    def _vinit():
+        vout_ref[...] = vpart
+
+    @pl.when(jnp.logical_and(i == 0, k != 0))
+    def _vacc():
+        vout_ref[...] = vout_ref[...] + vpart
 
 
 def _pmm_kernel_bf16(zq_ref, b_ref, out_ref):
@@ -448,8 +485,7 @@ TALL_TILE_KW = 256   # 4096 beats the old 1024 default in EVERY regime on
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_s", "tile_kw", "mode", "interpret",
-                              "pair_planes")
+    jax.jit, static_argnames=("tile_s", "tile_kw", "mode", "interpret")
 )
 def packed_matmul_tall(
     zq_other: jax.Array,
@@ -459,7 +495,7 @@ def packed_matmul_tall(
     tile_kw: int = TALL_TILE_KW,
     mode: str = "split",
     interpret: bool = False,
-    pair_planes: bool = False,
+    center_vec: Optional[jax.Array] = None,
 ) -> jax.Array:
     """decode(zq_other)ᵀ @ B computed TRANSPOSED: Cᵀ = Bᵀ @ decode(zq_other).
 
@@ -527,22 +563,52 @@ def packed_matmul_tall(
         + rows_pad * 16 * kwi * 4,
         transcendentals=0,
     )
-    out = call32(pl.pallas_call(
-        functools.partial(_pmm_tall_kernel, mode=mode,
-                          pair_planes=pair_planes),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((in_rows, tile_s), lambda i, k: (0, k)),
-            pl.BlockSpec((tile_s, tile_kw), lambda i, k: (k, i)),
-        ],
-        out_specs=pl.BlockSpec((rows_pad, 16 * tile_kw), lambda i, k: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, 16 * kwi), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=cost,
-        interpret=interpret,
-    ), bcat, zq_other)
+    b_spec = pl.BlockSpec((in_rows, tile_s), lambda i, k: (0, k))
+    if center_vec is not None:
+        if mode != "split":
+            raise ValueError("center_vec fusion is a split-mode feature")
+        cvp = jnp.zeros((1, spad), jnp.float32).at[0, :contract].set(
+            center_vec.astype(jnp.float32)[:contract])
+        out, vout = call32(pl.pallas_call(
+            _pmm_tall_kernel_cv,
+            grid=grid,
+            in_specs=[
+                b_spec,
+                pl.BlockSpec((tile_s, tile_kw), lambda i, k: (k, i)),
+                pl.BlockSpec((1, tile_s), lambda i, k: (0, k)),
+            ],
+            out_specs=[
+                pl.BlockSpec((rows_pad, 16 * tile_kw), lambda i, k: (0, i)),
+                pl.BlockSpec((in_rows, 1), lambda i, k: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows_pad, 16 * kwi), jnp.float32),
+                jax.ShapeDtypeStruct((in_rows, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        ), bcat, zq_other, cvp)
+        v = vout[:n, 0]
+    else:
+        out = call32(pl.pallas_call(
+            functools.partial(_pmm_tall_kernel, mode=mode),
+            grid=grid,
+            in_specs=[
+                b_spec,
+                pl.BlockSpec((tile_s, tile_kw), lambda i, k: (k, i)),
+            ],
+            out_specs=pl.BlockSpec((rows_pad, 16 * tile_kw),
+                                   lambda i, k: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((rows_pad, 16 * kwi), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        ), bcat, zq_other)
     ct = out[:n] if mode in ("bf16", "f32") else out[:n] + out[in_rows:in_rows + n]
     # undo the mask-only decode's 4^m plane factor and restore natural
     # column order: block i holds (plane m, word t) at i*16*tkw + m*tkw + t;
@@ -553,7 +619,7 @@ def packed_matmul_tall(
         .transpose(0, 2, 1, 3)
         .reshape(n, 16 * kwi)
     )
-    return ct.T
+    return (ct.T, v) if center_vec is not None else ct.T
 
 
 def _pmm_kernel_int8(zq_ref, b_ref, out_ref):
@@ -917,10 +983,51 @@ def dgemm(
         # SLOWER than the separate XLA epilogue — +32 vs +22 us — and was
         # dropped; see git history for _pmm_tall_kernel_fb.)
         tall_mode = {"fast": "split", "bf16": "bf16", "f32": "f32"}[precision]
-        c = packed_matmul_tall(zq_other, b, mode=tall_mode,
-                               tile_s=tile_r, tile_kw=tile_kw,
-                               interpret=interpret)
-        c = c[:rows]
+        centered_in_kernel = False
+        if mode != "none" and tall_mode == "split":
+            # FUSED centering (round 5): the rank-1 epilogue needs one
+            # contraction-side reduction of B (cᵀB for per-SNP modes /
+            # 1ᵀB for the colsum modes) — computing it inside the kernel
+            # from the RHS block already in VMEM saves a full O(K·n) HBM
+            # pass over B (~16% of the many_snps step)
+            if trans == "n":
+                per_row = mode in ("rowmeans", "user")   # per-SNP centers
+            else:
+                per_row = mode == "colmeans"             # per-indiv centers
+            if per_row:
+                cv = (2.0 * g.freq if mode == "rowmeans"
+                      else 2.0 * g.pseudo_freq if mode == "colmeans"
+                      else user_vec)
+            else:
+                cv = jnp.ones((cols,), jnp.float32)
+            c, v = packed_matmul_tall(zq_other, b, mode=tall_mode,
+                                      tile_s=tile_r, tile_kw=tile_kw,
+                                      interpret=interpret,
+                                      center_vec=cv)
+            c = c[:rows]
+            if per_row:
+                c = c - v[None, :].astype(c.dtype)       # v = cᵀB
+            else:                                        # v = 1ᵀB (colsum)
+                ovec = (2.0 * g.pseudo_freq if mode == "colmeans"
+                        else 2.0 * g.freq if mode == "rowmeans"
+                        else user_vec)
+                c = c - ovec[:rows, None].astype(c.dtype) * v[None, :].astype(
+                    c.dtype)
+            centered_in_kernel = True
+        else:
+            c = packed_matmul_tall(zq_other, b, mode=tall_mode,
+                                   tile_s=tile_r, tile_kw=tile_kw,
+                                   interpret=interpret)
+            c = c[:rows]
+        if centered_in_kernel:
+            if mode != "none" and not ignore_missings \
+                    and g.miss_rows_n is not None:
+                c = _missing_correction(g, b.astype(c.dtype), c, trans, mode,
+                                        user_vec)
+            if normalize:
+                s2 = g.sigma2 if trans == "t" else g.pseudo_sigma2
+                c = c / jnp.sqrt(s2).astype(c.dtype)
+            return c
     else:
         c = packed_matmul(
             zq, b, tile_r=tile_r, tile_kw=tile_kw,
