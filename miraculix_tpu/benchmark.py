@@ -389,53 +389,71 @@ def bench_grm(panel: str, iters: int = 8, comparator: bool = False) -> dict:
 def bench_grm_ref_panel(iters: int = 2) -> dict:
     """The reference's flagship GRM benchmark: 1M SNPs x 21,000 individuals
     (utils/genotype_simulation_plink/Makefile:1-9, benchmarked there against
-    PLINK --make-rel / GCTA).  The packed panel (5.6 GB) plus the int32
-    output exceed what a host round-trip makes practical, so genotypes are
-    generated as packed words on-device and the K-sweep runs as one jitted
-    fori_loop accumulating exact int32 partials."""
+    PLINK --make-rel / GCTA).  Genotypes are staged as packed words
+    on-device (a 5.6 GB host round trip is impractical over the tunnel),
+    with the real row count 21,248 zero-padded to 21,504 — exactly the
+    panel `_autopad_rows` produces, minus its copy — and the timed op is
+    ONE production `packed_crossprod` call whose kernel grid carries the
+    whole K axis.
+
+    (The old form swept 16 K-chunks in a fori_loop, paying a [21248,
+    21248] int32 HBM accumulator add per chunk — 16 x 1.8 GB of pure
+    accumulator traffic that capped it at 0.74 tri-MXU; the single-call
+    grid measures 0.92, r5.)"""
     import jax
     import jax.numpy as jnp
 
     from .ops.grm import packed_crossprod
 
-    rows, kw_chunk, chunks = 21248, 4096, 16   # 16*4096*16 = 1,048,576 SNPs
-    full_ops = 2.0 * rows * rows * 16 * kw_chunk * chunks
+    rows, rows_pad, kw = 21248, 21504, 65536       # 16*65536 = 1,048,576
+    chunk = 4096
+    full_ops = 2.0 * rows * rows * 16 * kw
 
-    def gen_words(key):
-        r = jax.random.bits(key, (rows, kw_chunk), jnp.uint32).astype(jnp.int32)
-        a = r & 0x55555555
-        b = (r >> 1) & 0x55555555
-        return (((b & ~a) << 1) | (a & ~b))   # every 2-bit field in {0,1,2}
+    @jax.jit
+    def build(key):
+        buf = jnp.zeros((rows_pad, kw), jnp.int32)
 
-    def sweep(carry):
-        def chunk(_, carry):
-            key, acc = carry
+        def body(i, carry):
+            key, buf = carry
             key, sub = jax.random.split(key)
-            return (key, acc + packed_crossprod(gen_words(sub)))
-        return jax.lax.fori_loop(0, chunks, chunk, carry)
+            r = jax.random.bits(sub, (rows, chunk), jnp.uint32).astype(
+                jnp.int32)
+            a = r & 0x55555555
+            b = (r >> 1) & 0x55555555
+            words = ((b & ~a) << 1) | (a & ~b)     # 2-bit fields in {0,1,2}
+            return key, jax.lax.dynamic_update_slice(buf, words,
+                                                     (0, i * chunk))
+        _, buf = jax.lax.fori_loop(0, kw // chunk, body,
+                                   (jax.random.PRNGKey(0), buf))
+        return buf
+
+    zq = build(jax.random.PRNGKey(0))
+    zq.block_until_ready()
 
     def mk(nit):
         @jax.jit
-        def many(key):
-            acc = jnp.zeros((rows, rows), jnp.int32)
-            def body(carry, _):
-                return sweep(carry), None
-            (key, acc), _ = jax.lax.scan(body, (key, acc), None, length=nit)
-            return acc[0, 0]
+        def many(zq):
+            def body(z, _):
+                out = packed_crossprod(z)
+                s = (out[0, 0].astype(jnp.int32) >> 31).astype(jnp.uint32)
+                z = z.at[0, 0].set(
+                    (z[0, 0].astype(jnp.uint32) ^ s).astype(jnp.int32))
+                return z, None
+            zf, _ = jax.lax.scan(body, zq, None, length=nit)
+            return jnp.float32(zf[0, 0] & 1)
         return many
 
-    k = jax.random.PRNGKey(0)
     f1, fn_n = mk(1), mk(iters + 1)
-    int(f1(k))
-    int(fn_n(k))
+    float(f1(zq))
+    float(fn_n(zq))
     stats = {}
-    per = _interleaved_per_iter(lambda: int(f1(k)), lambda: int(fn_n(k)),
-                                iters, stats=stats)
+    per = _interleaved_per_iter(lambda: float(f1(zq)),
+                                lambda: float(fn_n(zq)), iters, stats=stats)
     out = {
         "suite": "grm",
         "panel": "ref_many_snps",
-        "config": f"{16 * kw_chunk * chunks}x{rows} ZZ^T int8, "
-                  f"{chunks} K-chunks, on-device gen",
+        "config": f"{16 * kw}x{rows} ZZ^T int8 (padded {rows_pad}), "
+                  "single-call K grid, on-device gen",
         "seconds_per_call": round(per, 3),
         "snp_indiv2_ops_per_s": full_ops / per,
         "mxu_utilization_triangle": round(
