@@ -143,3 +143,28 @@ def test_sharded_grm_diag_and_pcg(mesh8, panel):
                              np.asarray(b))
     assert np.abs(np.asarray(res.x) - want_x).max() / np.abs(want_x).max() \
         < 1e-4
+
+
+def test_sharded_snp_sq_stats_and_weighted_diag(rng, mesh8, panel):
+    """Direct oracles for the round-5 GWAS primitives: per-SNP sum z^2
+    (diag Z'Z) and the SNP-weighted centered diagonal that preconditions
+    the sharded LOCO CG."""
+    sg = parallel.shard_genotypes(panel, mesh8)
+    zsq = np.asarray(parallel.sharded_snp_sq_stats(sg), np.float64)
+    zf = panel.astype(np.float64)
+    np.testing.assert_allclose(zsq, (zf ** 2).sum(axis=0), rtol=0, atol=0)
+
+    w_real = (rng.random(5000) < 0.7).astype(np.float64)
+    w_pad = np.zeros(sg.freq.shape[0], np.float32)
+    w_pad[:5000] = w_real
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    w_sh = jax.device_put(w_pad, NamedSharding(
+        sg.zq_n.sharding.mesh, P(sg.axis)))
+    got = np.asarray(parallel.sharded_weighted_grm_diag(sg, w_sh),
+                     np.float64)
+    f = np.asarray(mx.from_dense(panel).freq, np.float64)
+    zc = zf - 2.0 * f[None, :]
+    want = (w_real[None, :] * zc ** 2).sum(axis=1)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
