@@ -816,6 +816,58 @@ def missing_indicator_packing_t(g: GenoMatrix, row0: int = 0,
     return arr
 
 
+@functools.partial(jax.jit, static_argnames=("window", "rb", "n",
+                                             "interpret"))
+def _ld_band_block(zi, zj, fr, fc_pad, sig_r, sig_pad, *, window, rb, n,
+                   interpret):
+    """One banded-LD row block entirely ON DEVICE (no-missing path): rect
+    int8 crossproduct -> rank-1 centering -> diagonal-band gather ->
+    sigma normalization, returning just the [rb, window] f32 band.
+
+    The old host pipeline fetched the full [rb, rb+wb] int32 tile and did
+    f64 centering + a stride-trick gather on the 1-vCPU build VM — ~75 MB
+    of D2H plus ~300 MB of host traffic PER BLOCK (19 GB / 77 GB over a
+    1M-SNP panel; measured 21 MINUTES wall).  On device the same block is
+    microseconds of MXU work and an 8 MB transfer."""
+    m = packed_crossprod_rect(zi, zj, interpret=interpret).astype(
+        jnp.float32)
+    m = m - (4.0 * n) * fr[:, None] * fc_pad[None, :]
+    idx = (jnp.arange(rb)[:, None] + 1
+           + jnp.arange(window)[None, :])          # partner offset in block
+    band = jnp.take_along_axis(m, idx, axis=1)
+    band = band / (sig_r[:, None] * sig_pad[idx])
+    return band
+
+
+@functools.partial(jax.jit, static_argnames=("window", "rb", "n", "snps",
+                                             "adjusted", "interpret"))
+def _ld_score_block(zi, zj, fr, fc_pad, sig_r, sig_pad, code_pad, r0, *,
+                    window, rb, n, snps, adjusted, interpret):
+    """One LD-score row block ON DEVICE: banded r (as _ld_band_block),
+    square, GCTA adjustment, validity/chromosome masking, and BOTH
+    accumulation directions — only two small vectors ([rb] outgoing sums,
+    [rb+window] incoming partner contributions) ever leave the chip,
+    instead of the whole [rb, window] band."""
+    m = packed_crossprod_rect(zi, zj, interpret=interpret).astype(
+        jnp.float32)
+    m = m - (4.0 * n) * fr[:, None] * fc_pad[None, :]
+    lidx = (jnp.arange(rb)[:, None] + 1
+            + jnp.arange(window)[None, :])         # local partner index
+    band = jnp.take_along_axis(m, lidx, axis=1)
+    band = band / (sig_r[:, None] * sig_pad[lidx])
+    r2 = band * band
+    if adjusted:
+        r2 = r2 - (1.0 - r2) / jnp.float32(n - 2)
+    gpartner = r0 + lidx                           # global partner index
+    valid = gpartner < snps
+    valid &= code_pad[:rb, None] == code_pad[lidx]
+    r2 = jnp.where(valid, r2, 0.0)
+    row = jnp.sum(r2, axis=1)                      # outgoing, SNP r0+s
+    inc = jnp.zeros((rb + window,), jnp.float32).at[lidx.reshape(-1)].add(
+        r2.reshape(-1))                            # incoming, SNP r0+j
+    return row, inc
+
+
 def ld_windowed(
     g: GenoMatrix,
     window: int,
@@ -907,55 +959,81 @@ def ld_windowed(
         return jnp.zeros((a1 - a0, src.shape[1]),
                          src.dtype).at[: sl.shape[0]].set(jnp.asarray(sl))
 
+    # sigma padded to the block's partner range, 1.0 past the panel so
+    # the device division is a no-op there (validity masks kill those
+    # entries); frequencies padded 0 past the panel
+    sig_full = np.ones(snps + rb + wb, np.float64)
+    sig_full[:snps] = sigma
+    f_full = np.zeros(snps + rb + wb, np.float64)
+    f_full[:snps] = f
+
     for i in range(nb):
         r0, r1 = i * rb, min((i + 1) * rb, snps)
         nrow = r1 - r0
         zi = rows(r0, r0 + rb)
         zj = rows(r0, r0 + rb + wb)
+        if not correct_missing:
+            # whole block on device: only the [rb, window] band transfers
+            band = np.asarray(_ld_band_block(
+                zi, zj,
+                jnp.asarray(f_full[r0: r0 + rb], jnp.float32),
+                jnp.asarray(f_full[r0: r0 + rb + wb], jnp.float32),
+                jnp.asarray(sig_full[r0: r0 + rb], jnp.float32),
+                jnp.asarray(sig_full[r0: r0 + rb + wb], jnp.float32),
+                window=window, rb=rb, n=n, interpret=interpret),
+                np.float64)[:nrow]
+            partner = np.minimum(r0 + np.arange(nrow)[:, None] + 1
+                                 + np.arange(window)[None, :], snps - 1)
+            valid = (r0 + np.arange(nrow)[:, None] + 1
+                     + np.arange(window)[None, :]) < snps
+            if chrom is not None:
+                valid &= chrom[partner] == chrom[r0:r1][:, None]
+            out[r0:r1] = np.where(valid, band, 0.0).astype(np.float32)
+            continue
+        # missing-corrected path: host f64 (exactness-critical corrections;
+        # rarer post-QC — the common no-missing path above never leaves
+        # the device)
         tile = np.asarray(packed_crossprod_rect(
             zi, zj, interpret=interpret)).astype(np.float64)
         tile = tile[:nrow]
         c1 = min(r0 + rb + window, snps) - r0   # valid partner columns
         tile[:, c1:] = 0.0
-        if correct_missing:
-            # exact centered band (derivation: Zc = Z - 1(2f)ᵀ + D):
-            #   raw - 2f_c·s_s - 2f_s·s_c + 4 f_s f_c (n - mc_s - mc_c + mm)
-            #       + 2f_s·Σ_{i∈miss(s)} z_ic + 2f_c·Σ_{i∈miss(c)} z_is
-            # (f_s multiplies the miss(s) sum: D's nonzeros are 2f_s at
-            # row s's missing entries — matches the code and ld()'s D-CSR)
-            fr, fc = f[r0:r1], f[r0: r0 + c1]
-            sr, sc = ssum[r0:r1], ssum[r0: r0 + c1]
-            mcr, mcc = mc[r0:r1], mc[r0: r0 + c1]
-            rmiss = blk_has_miss[i]
-            cmiss = (mc[r0: r0 + c1] > 0).any()
-            mzr = mzc = mmrc = 0.0
-            if rmiss or cmiss:
-                mi_j = jnp.asarray(
-                    missing_indicator_packing_t(g, r0, rb + wb))
-                mi_i = mi_j[:rb]    # the row block IS the band's head
-            if rmiss:
-                mzr = np.asarray(packed_crossprod_rect(
-                    mi_i, zj, interpret=interpret))[:nrow, :c1].astype(
-                    np.float64)
-            if cmiss:
-                mzc = np.asarray(packed_crossprod_rect(
-                    zi, mi_j, interpret=interpret))[:nrow, :c1].astype(
-                    np.float64)
-            if rmiss and cmiss:
-                mmrc = np.asarray(packed_crossprod_rect(
-                    mi_i, mi_j, interpret=interpret))[:nrow, :c1].astype(
-                    np.float64)
-            tile[:, :c1] = (
-                tile[:, :c1]
-                - 2.0 * fc[None, :] * sr[:, None]
-                - 2.0 * fr[:, None] * sc[None, :]
-                + 4.0 * np.outer(fr, fc)
-                * (n - mcr[:, None] - mcc[None, :] + mmrc)
-                + 2.0 * fr[:, None] * mzr
-                + 2.0 * fc[None, :] * mzc
-            )
-        else:
-            tile[:, :c1] -= (4.0 * n) * np.outer(f[r0:r1], f[r0: r0 + c1])
+        # exact centered band (derivation: Zc = Z - 1(2f)ᵀ + D):
+        #   raw - 2f_c·s_s - 2f_s·s_c + 4 f_s f_c (n - mc_s - mc_c + mm)
+        #       + 2f_s·Σ_{i∈miss(s)} z_ic + 2f_c·Σ_{i∈miss(c)} z_is
+        # (f_s multiplies the miss(s) sum: D's nonzeros are 2f_s at
+        # row s's missing entries — matches the code and ld()'s D-CSR)
+        fr, fc = f[r0:r1], f[r0: r0 + c1]
+        sr, sc = ssum[r0:r1], ssum[r0: r0 + c1]
+        mcr, mcc = mc[r0:r1], mc[r0: r0 + c1]
+        rmiss = blk_has_miss[i]
+        cmiss = (mc[r0: r0 + c1] > 0).any()
+        mzr = mzc = mmrc = 0.0
+        if rmiss or cmiss:
+            mi_j = jnp.asarray(
+                missing_indicator_packing_t(g, r0, rb + wb))
+            mi_i = mi_j[:rb]    # the row block IS the band's head
+        if rmiss:
+            mzr = np.asarray(packed_crossprod_rect(
+                mi_i, zj, interpret=interpret))[:nrow, :c1].astype(
+                np.float64)
+        if cmiss:
+            mzc = np.asarray(packed_crossprod_rect(
+                zi, mi_j, interpret=interpret))[:nrow, :c1].astype(
+                np.float64)
+        if rmiss and cmiss:
+            mmrc = np.asarray(packed_crossprod_rect(
+                mi_i, mi_j, interpret=interpret))[:nrow, :c1].astype(
+                np.float64)
+        tile[:, :c1] = (
+            tile[:, :c1]
+            - 2.0 * fc[None, :] * sr[:, None]
+            - 2.0 * fr[:, None] * sc[None, :]
+            + 4.0 * np.outer(fr, fc)
+            * (n - mcr[:, None] - mcc[None, :] + mmrc)
+            + 2.0 * fr[:, None] * mzr
+            + 2.0 * fc[None, :] * mzc
+        )
         # band extraction: row k pairs with columns k+1 .. k+window
         sw = np.lib.stride_tricks.sliding_window_view(
             tile, window, axis=1)  # [nrow, width-window+1, window]
@@ -999,8 +1077,72 @@ def ld_score(
     """
     import numpy as np
 
+    from .common import on_cpu, packed_row_sq_stats
+
     snps, n = g.snps, g.indiv
     window = min(window, max(snps - 1, 1))
+    if correct_missing is None:
+        correct_missing = (g.miss_rows_n is not None
+                           and g.miss_rows_n.shape[0] > 0)
+    if not correct_missing:
+        # fully device-side per block (round 5): r, r², adjustment,
+        # masking, and BOTH accumulation directions on chip — only [rb] +
+        # [rb+window] vectors transfer per block, vs the whole band (the
+        # band D2H dominated the 1M-SNP wall over the tunnel; see
+        # _ld_score_block)
+        if adjusted and n < 3:
+            raise ValueError("adjusted LD scores need >= 3 individuals")
+        interpret = on_cpu()
+        zq = g.zq_t
+        rb = max(512, (row_block // 512) * 512)
+        wb = -(-window // 512) * 512
+        nb = -(-snps // rb)
+        f = np.asarray(g.freq, dtype=np.float64)
+        zsq = np.asarray(jax.jit(packed_row_sq_stats)(zq),
+                         np.float64)[:snps]
+        var = zsq - 4.0 * n * f * f
+        sigma = np.where(var > 0, np.sqrt(var), 1.0)
+        sig_full = np.ones(snps + rb + wb, np.float64)
+        sig_full[:snps] = sigma
+        f_full = np.zeros(snps + rb + wb, np.float64)
+        f_full[:snps] = f
+        if chrom is None:
+            codes = np.zeros(snps, np.int32)
+        else:
+            ch = np.asarray(chrom)
+            if ch.shape[0] != snps:
+                raise ValueError(f"chrom has {ch.shape[0]} labels for "
+                                 f"{snps} SNPs")
+            codes = np.unique(ch, return_inverse=True)[1].astype(np.int32)
+        code_full = np.full(snps + rb + wb, -1, np.int32)
+        code_full[:snps] = codes
+        rows_pad = zq.shape[0]
+
+        def rows(a0, a1):
+            sl = zq[a0:min(a1, rows_pad)]
+            if sl.shape[0] == a1 - a0:
+                return jnp.asarray(sl)
+            return jnp.zeros((a1 - a0, zq.shape[1]),
+                             zq.dtype).at[: sl.shape[0]].set(jnp.asarray(sl))
+
+        score = np.ones(snps, np.float64)
+        for i in range(nb):
+            r0, r1 = i * rb, min((i + 1) * rb, snps)
+            nrow = r1 - r0
+            row, inc = _ld_score_block(
+                rows(r0, r0 + rb), rows(r0, r0 + rb + wb),
+                jnp.asarray(f_full[r0: r0 + rb], jnp.float32),
+                jnp.asarray(f_full[r0: r0 + rb + wb], jnp.float32),
+                jnp.asarray(sig_full[r0: r0 + rb], jnp.float32),
+                jnp.asarray(sig_full[r0: r0 + rb + wb], jnp.float32),
+                jnp.asarray(code_full[r0: r0 + rb + wb]),
+                jnp.int32(r0), window=window, rb=rb, n=n, snps=snps,
+                adjusted=adjusted, interpret=interpret)
+            score[r0:r1] += np.asarray(row, np.float64)[:nrow]
+            lim = min(r0 + rb + window, snps)
+            score[r0:lim] += np.asarray(inc, np.float64)[: lim - r0]
+        return score
+
     band = ld_windowed(g, window, row_block=row_block, squared=True,
                        chrom=chrom, correct_missing=correct_missing)
     if adjusted:
