@@ -91,6 +91,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             f32p = ctypes.POINTER(ctypes.c_float)
             lib.mx_ld_prune.argtypes = [f32p, f64p, ctypes.c_double,
                                         i64, i64, u8p]
+        if hasattr(lib, "mx_ld_prune_mask"):
+            lib.mx_ld_prune_mask.argtypes = [u8p, f64p, i64, i64, u8p]
         lib.mx_codec_version.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -213,6 +215,23 @@ def ld_prune(band2: np.ndarray, maf: np.ndarray,
     lib.mx_ld_prune(_ptr(band2, ctypes.c_float), _ptr(maf, ctypes.c_double),
                     float(r2_threshold), snps, window,
                     _ptr(keep, ctypes.c_uint8))
+    return keep.astype(bool)
+
+
+def ld_prune_mask(mask: np.ndarray, maf: np.ndarray) -> Optional[np.ndarray]:
+    """Greedy banded LD prune over a PRE-THRESHOLDED uint8 offender mask
+    (codec.cpp mx_ld_prune_mask — the device-thresholded fast path);
+    returns the keep mask [snps] bool, or None if native is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mx_ld_prune_mask"):
+        return None
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    maf = np.ascontiguousarray(maf, dtype=np.float64)
+    snps, window = mask.shape
+    keep = np.empty(snps, dtype=np.uint8)
+    lib.mx_ld_prune_mask(_ptr(mask, ctypes.c_uint8),
+                         _ptr(maf, ctypes.c_double), snps, window,
+                         _ptr(keep, ctypes.c_uint8))
     return keep.astype(bool)
 
 

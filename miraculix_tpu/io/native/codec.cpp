@@ -579,6 +579,42 @@ void mx_ld_prune(const float* band2, const double* maf, double thr,
     }
 }
 
-int mx_codec_version(void) { return 8; }
+// Same greedy scan over a PRE-THRESHOLDED uint8 offender mask (round 5):
+// the r^2 comparison happens on device per block, so only snps*window
+// BYTES cross host<->device instead of float32 values — 4x less transfer
+// on the band fetch that dominates the 1M-SNP prune wall.
+void mx_ld_prune_mask(const uint8_t* mask, const double* maf,
+                      int64_t snps, int64_t window, uint8_t* keep) {
+    for (int64_t s = 0; s < snps; ++s) keep[s] = 1;
+    for (int64_t s = 0; s < snps; ++s) {
+        if (!keep[s]) continue;
+        const uint8_t* row = mask + s * window;
+        const int64_t lim = std::min(window, snps - s - 1);
+        bool any = false, drop_self = false;
+        for (int64_t d = 0; d < lim; ++d) {
+            const int64_t p = s + 1 + d;
+            if (keep[p] && row[d]) {
+                any = true;
+                if (maf[s] < maf[p]) { drop_self = true; break; }
+            }
+        }
+        if (!any) continue;
+        if (drop_self) {
+            keep[s] = 0;
+            for (int64_t d = 0; d < lim; ++d) {
+                const int64_t p = s + 1 + d;
+                if (keep[p] && row[d] && maf[p] <= maf[s])
+                    keep[p] = 0;
+            }
+        } else {
+            for (int64_t d = 0; d < lim; ++d) {
+                const int64_t p = s + 1 + d;
+                if (keep[p] && row[d]) keep[p] = 0;
+            }
+        }
+    }
+}
+
+int mx_codec_version(void) { return 9; }
 
 }  // extern "C"

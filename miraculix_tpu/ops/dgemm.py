@@ -984,12 +984,16 @@ def dgemm(
         # dropped; see git history for _pmm_tall_kernel_fb.)
         tall_mode = {"fast": "split", "bf16": "bf16", "f32": "f32"}[precision]
         centered_in_kernel = False
-        if mode != "none" and tall_mode == "split":
+        if mode != "none" and tall_mode == "split" and cols >= 65536:
             # FUSED centering (round 5): the rank-1 epilogue needs one
             # contraction-side reduction of B (cᵀB for per-SNP modes /
             # 1ᵀB for the colsum modes) — computing it inside the kernel
             # from the RHS block already in VMEM saves a full O(K·n) HBM
-            # pass over B (~16% of the many_snps step)
+            # pass over B (~16% of the many_snps step).  Gated to large
+            # contractions: below ~64K SNPs the saved pass is noise, and
+            # the extra executable per (shape, mode) combo doubled the
+            # test suite's compile count (which intermittently segfaulted
+            # jaxlib's CPU compile pipeline late in the run, r5)
             if trans == "n":
                 per_row = mode in ("rowmeans", "user")   # per-SNP centers
             else:

@@ -868,6 +868,26 @@ def _ld_score_block(zi, zj, fr, fc_pad, sig_r, sig_pad, code_pad, r0, *,
     return row, inc
 
 
+@functools.partial(jax.jit, static_argnames=("window", "rb", "n", "snps",
+                                             "interpret"))
+def _ld_mask_block(zi, zj, fr, fc_pad, sig_r, sig_pad, code_pad, r0, thr, *,
+                   window, rb, n, snps, interpret):
+    """One LD-prune row block ON DEVICE: banded r², thresholded and
+    validity/chromosome-masked on chip — only the uint8 offender mask
+    transfers (4x less than the float band; see mx_ld_prune_mask)."""
+    m = packed_crossprod_rect(zi, zj, interpret=interpret).astype(
+        jnp.float32)
+    m = m - (4.0 * n) * fr[:, None] * fc_pad[None, :]
+    lidx = (jnp.arange(rb)[:, None] + 1
+            + jnp.arange(window)[None, :])
+    band = jnp.take_along_axis(m, lidx, axis=1)
+    band = band / (sig_r[:, None] * sig_pad[lidx])
+    gpartner = r0 + lidx
+    valid = gpartner < snps
+    valid &= code_pad[:rb, None] == code_pad[lidx]
+    return (valid & (band * band > thr)).astype(jnp.uint8)
+
+
 def ld_windowed(
     g: GenoMatrix,
     window: int,
@@ -1194,23 +1214,93 @@ def ld_prune(
     """
     import numpy as np
 
-    band2 = ld_windowed(g, window=window, row_block=row_block, squared=True,
-                        chrom=chrom, correct_missing=correct_missing)
-    snps = g.snps
-    f = np.asarray(g.freq, np.float64)
-    maf = np.minimum(f, 1.0 - f)
     from ..io import native as _native
 
+    snps, n = g.snps, g.indiv
+    f = np.asarray(g.freq, np.float64)
+    maf = np.minimum(f, 1.0 - f)
+    if correct_missing is None:
+        correct_missing = (g.miss_rows_n is not None
+                           and g.miss_rows_n.shape[0] > 0)
+    if not correct_missing:
+        # device-thresholded fast path (round 5): each row block computes
+        # the banded r² AND the `> threshold` comparison on chip, so only
+        # a uint8 offender mask crosses to the host (4x less transfer
+        # than the float band — which dominated the 1M-SNP wall)
+        from .common import on_cpu, packed_row_sq_stats
+
+        window_c = min(window, max(snps - 1, 1))
+        interpret = on_cpu()
+        zq = g.zq_t
+        rb = max(512, (row_block // 512) * 512)
+        wb = -(-window_c // 512) * 512
+        nb = -(-snps // rb)
+        zsq = np.asarray(jax.jit(packed_row_sq_stats)(zq),
+                         np.float64)[:snps]
+        var = zsq - 4.0 * n * f * f
+        sigma = np.where(var > 0, np.sqrt(var), 1.0)
+        sig_full = np.ones(snps + rb + wb, np.float64)
+        sig_full[:snps] = sigma
+        f_full = np.zeros(snps + rb + wb, np.float64)
+        f_full[:snps] = f
+        if chrom is None:
+            codes = np.zeros(snps, np.int32)
+        else:
+            ch = np.asarray(chrom)
+            if ch.shape[0] != snps:
+                raise ValueError(f"chrom has {ch.shape[0]} labels for "
+                                 f"{snps} SNPs")
+            codes = np.unique(ch, return_inverse=True)[1].astype(np.int32)
+        code_full = np.full(snps + rb + wb, -1, np.int32)
+        code_full[:snps] = codes
+        rows_pad = zq.shape[0]
+
+        def rows_of(a0, a1):
+            sl = zq[a0:min(a1, rows_pad)]
+            if sl.shape[0] == a1 - a0:
+                return jnp.asarray(sl)
+            return jnp.zeros((a1 - a0, zq.shape[1]),
+                             zq.dtype).at[: sl.shape[0]].set(jnp.asarray(sl))
+
+        offend = np.empty((snps, window_c), np.uint8)
+        for i in range(nb):
+            r0, r1 = i * rb, min((i + 1) * rb, snps)
+            blk = _ld_mask_block(
+                rows_of(r0, r0 + rb), rows_of(r0, r0 + rb + wb),
+                jnp.asarray(f_full[r0: r0 + rb], jnp.float32),
+                jnp.asarray(f_full[r0: r0 + rb + wb], jnp.float32),
+                jnp.asarray(sig_full[r0: r0 + rb], jnp.float32),
+                jnp.asarray(sig_full[r0: r0 + rb + wb], jnp.float32),
+                jnp.asarray(code_full[r0: r0 + rb + wb]),
+                jnp.int32(r0), jnp.float32(r2_threshold),
+                window=window_c, rb=rb, n=n, snps=snps,
+                interpret=interpret)
+            offend[r0:r1] = np.asarray(blk)[: r1 - r0]
+        native_keep = _native.ld_prune_mask(offend, maf)
+        if native_keep is not None:
+            return native_keep
+        return _ld_prune_greedy(offend > 0, maf, snps, window_c)
+
+    band2 = ld_windowed(g, window=window, row_block=row_block, squared=True,
+                        chrom=chrom, correct_missing=correct_missing)
     native_keep = _native.ld_prune(band2, maf, r2_threshold)
     if native_keep is not None:
         return native_keep
+    return _ld_prune_greedy(band2 > r2_threshold, maf, snps, window)
+
+
+def _ld_prune_greedy(offend: "np.ndarray", maf, snps: int, window: int):
+    """Python greedy scan over a boolean offender band — the semantics
+    oracle for both native scans (mx_ld_prune / mx_ld_prune_mask)."""
+    import numpy as np
+
     keep = np.ones(snps, bool)
     for s in range(snps):
         if not keep[s]:
             continue
         hi = min(s + 1 + window, snps)
         part = np.arange(s + 1, hi)
-        mask = keep[part] & (band2[s, : hi - s - 1] > r2_threshold)
+        mask = keep[part] & offend[s, : hi - s - 1]
         if not mask.any():
             continue
         bad = part[mask]

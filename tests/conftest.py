@@ -6,6 +6,15 @@ SURVEY.md §4 ("CPU-jax vs TPU, 1-chip vs N-chip equality").
 """
 import os
 
+# CLI entry points invoked inside tests call enable_compilation_cache(),
+# which flips jax's persistent cache on PROCESS-WIDE for every later
+# compile in the suite; serializing one of the larger executables
+# segfaulted jaxlib's cache writer mid-suite (observed r5: crash inside
+# compilation_cache.put_executable_and_time at ~80%).  Tests gain nothing
+# from a disk cache and should not write to ~/.cache — disable it via the
+# documented env knob.
+os.environ.setdefault("MIRACULIX_TPU_COMPILE_CACHE", "off")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
