@@ -296,8 +296,16 @@ def cmd_gwas(args) -> int:
     from .gwas import gwas_linear
     from .streamed import StreamedGeno  # noqa: F401 (stream path below)
 
+    if args.stream_chunk > 0 and args.mesh > 0:
+        raise SystemExit("--stream-chunk and --mesh are alternative "
+                         "scaling modes (out-of-core vs multi-chip); "
+                         "pick one")
     if args.stream_chunk > 0:
         g = StreamedGeno.from_bed(args.bed, chunk_snps=args.stream_chunk)
+    elif args.mesh > 0:
+        from .parallel import make_mesh, shard_genotypes_from_bed
+
+        g = shard_genotypes_from_bed(args.bed, make_mesh(args.mesh))
     else:
         g = from_bed(args.bed)
     y = None
@@ -321,11 +329,11 @@ def cmd_gwas(args) -> int:
     except (OSError, ValueError):
         y = None
     if y is None:
-        if args.stream_chunk > 0:
+        if args.stream_chunk > 0 or args.mesh > 0:
             raise SystemExit(
-                "--stream-chunk panels need real .fam phenotypes: the "
-                "simulated-phenotype fallback would densify the full "
-                "panel the streaming mode exists to avoid")
+                "--stream-chunk/--mesh panels need real .fam phenotypes: "
+                "the simulated-phenotype fallback would densify the full "
+                "panel these scaling modes exist to avoid")
         from .io import bed as bedio
 
         dense, _ = bedio.read_bed_genotypes(args.bed)
@@ -778,6 +786,10 @@ def main(argv=None) -> int:
                         "(chromosomes from the .bim; proximal-"
                         "contamination guard)")
     w.add_argument("--h2", type=float, default=0.5)
+    w.add_argument("--mesh", type=int, default=0,
+                   help="shard the panel over this many devices and run "
+                        "the scan distributed (linear/mixed/logistic/LOCO "
+                        "all ride the sharded operators; 0 = single chip)")
 
     l = sub.add_parser("ld")
     l.add_argument("--window", type=int, default=0,

@@ -459,3 +459,44 @@ def test_gwas_mixed_loco_sharded_matches(sharded_gwas_panel):
     np.testing.assert_allclose(r_sh.chi2[mask], r_mem.chi2[mask],
                                rtol=5e-3, atol=1e-5)
     assert np.argmax(r_sh.chi2) == np.argmax(r_mem.chi2) == 50
+
+
+def test_cli_gwas_mesh_matches_single_chip(tmp_path, capsys):
+    """cli gwas --mesh N: the distributed scan writes the same statistics
+    as the single-chip run on the same fileset."""
+    import numpy as np
+
+    from miraculix_tpu import cli
+    from miraculix_tpu.io import bed as bedio
+
+    geno = bedio.simulate_genotypes(100, 400, seed=6)
+    rng = np.random.default_rng(1)
+    y = geno[:, 11] * 0.9 + rng.standard_normal(100)
+    p = str(tmp_path / "m.bed")
+    bedio.write_bed(p, geno)
+    fam = open(p[:-4] + ".fam").read().splitlines()
+    with open(p[:-4] + ".fam", "w") as fh:
+        for k, ln in enumerate(fam):
+            parts = ln.split()
+            parts[5] = f"{y[k]:.6f}"
+            fh.write(" ".join(parts) + "\n")
+
+    out1 = str(tmp_path / "one.tsv")
+    out8 = str(tmp_path / "mesh.tsv")
+    assert cli.main(["gwas", p, "-o", out1]) == 0
+    assert cli.main(["gwas", p, "-o", out8, "--mesh", "8"]) == 0
+    r1 = np.loadtxt(out1, skiprows=1, usecols=(3, 4, 5))
+    r8 = np.loadtxt(out8, skiprows=1, usecols=(3, 4, 5))
+    np.testing.assert_allclose(r8, r1, rtol=2e-3, atol=1e-5)
+
+    # mixed + LOCO ride the sharded operators too
+    assert cli.main(["gwas", p, "-o", out8, "--mesh", "8", "--mixed",
+                     "--loco"]) == 0
+    rows = [ln.split("\t") for ln in open(out8)]
+    assert rows[0][0] == "chr" and len(rows) == 1 + 400
+    # --mesh and --stream-chunk are mutually exclusive
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli.main(["gwas", p, "--mesh", "2", "--stream-chunk", "128"])
+    capsys.readouterr()
